@@ -1,0 +1,199 @@
+"""Generic iteration drivers (shared by all solvers).
+
+The reference duplicates one hand-written ``while True`` host loop per solver
+(reference: src/krylov/cg.py:155, gmres.py:179, minres.py:168, ...), each with
+the same control-flow idioms:
+
+* convergence criterion ``max(tol * resnorms[0], atol)`` fixed up-front,
+* an **explicit-residual double check**: when the recurrence residual norm
+  dips below the criterion, the true residual is recomputed and *overwrites*
+  the last history entry; success is declared only if the explicit value also
+  passes (and the overwritten value persists even if it does not),
+* ``maxiter`` bail-out, per-iteration ``callback``, absolute resnorm history.
+
+Here that loop exists exactly once, in two interchangeable backends over the
+same functional solver core (``step: state -> state`` on a pytree):
+
+* ``eager``  — host loop; supports arbitrary Python callbacks, custom inner
+  products and the float64 parity mode,
+* ``while_loop`` — one ``lax.while_loop`` compiled by XLA: the entire solve
+  (SpMV, reductions, breakdown guards, residual history) runs on-device with
+  zero host round-trips per iteration; the residual history lives in a fixed
+  ``(maxiter + 1, *rhs)`` buffer with a valid-length counter.
+
+Solver-specific state is an arbitrary pytree carrying at least ``resnorm``;
+solvers with a mid-iteration exit (BiCGSTAB) also carry ``early_success``.
+"""
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+EAGER = "eager"
+WHILE_LOOP = "while_loop"
+
+
+class Method(NamedTuple):
+    """Hooks describing one Krylov method to the generic drivers."""
+
+    step: Callable[[Any, Any], Any]  # (state, criterion) -> state
+    xk: Callable[[Any], Any]  # state -> current solution iterate
+    # recompute the true residual norm of an iterate; None disables the
+    # double-check (stationary methods, reference: src/krylov/stationary.py:138)
+    explicit_resnorm: Optional[Callable[[Any], Any]] = None
+    # state -> args tuple for the user callback (eager only)
+    callback_args: Optional[Callable[[Any], tuple]] = None
+    # eager-only bookkeeping hook, e.g. cg's return_arnoldi basis collection
+    on_step: Optional[Callable[[Any, Any], None]] = None
+
+
+def run(
+    state0,
+    method: Method,
+    *,
+    tol: float,
+    atol: float,
+    maxiter: int,
+    callback: Optional[Callable] = None,
+    backend: str = EAGER,
+):
+    """Drive ``method`` to convergence.
+
+    Returns ``(state, success, numsteps, resnorms)`` where ``resnorms`` is a
+    host ndarray of shape ``(numsteps + 1, *rhs)`` (eager and concrete
+    while_loop) or a ``(buffer, numsteps)`` pair when traced.
+    """
+    if backend == EAGER:
+        return _run_eager(
+            state0, method, tol=tol, atol=atol, maxiter=maxiter, callback=callback
+        )
+    if backend == WHILE_LOOP:
+        if callback is not None:
+            raise ValueError(
+                "callbacks require backend='eager' "
+                "(the compiled driver never returns to host mid-solve)"
+            )
+        if method.on_step is not None:
+            raise ValueError("on_step bookkeeping requires backend='eager'")
+        return _run_while(state0, method, tol=tol, atol=atol, maxiter=maxiter)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def _run_eager(state, method: Method, *, tol, atol, maxiter, callback):
+    resnorms = [state.resnorm]
+    criterion = jnp.maximum(tol * resnorms[0], atol)
+    success = False
+    k = 0
+    while True:
+        if bool(jnp.all(resnorms[-1] <= criterion)):
+            if method.explicit_resnorm is None:
+                success = True
+                break
+            rn = method.explicit_resnorm(method.xk(state))
+            resnorms[-1] = rn  # overwrite persists even if the check fails
+            if bool(jnp.all(rn <= criterion)):
+                success = True
+                break
+        if k == maxiter:
+            break
+
+        new_state = method.step(state, criterion)
+        if method.on_step is not None:
+            method.on_step(state, new_state)
+        state = new_state
+
+        early = getattr(state, "early_success", None)
+        if early is not None and bool(early):
+            resnorms[-1] = state.resnorm
+            success = True
+            break
+
+        if callback is not None and method.callback_args is not None:
+            callback(*method.callback_args(state))
+
+        resnorms.append(state.resnorm)
+        k += 1
+
+    resnorms = np.stack([np.asarray(r) for r in resnorms])
+    return state, success, k, resnorms
+
+
+def _run_while(state0, method: Method, *, tol, atol, maxiter):
+    resnorm0 = state0.resnorm
+    rdtype = jnp.asarray(resnorm0).dtype
+    buf = jnp.zeros((maxiter + 1,) + jnp.shape(resnorm0), rdtype).at[0].set(resnorm0)
+    criterion = jnp.maximum(tol * resnorm0, atol)
+    has_early = hasattr(state0, "early_success")
+
+    def body(carry):
+        s, k, buf, done, success = carry
+        last = lax.dynamic_index_in_dim(buf, k, 0, keepdims=False)
+        below = jnp.all(last <= criterion)
+
+        if method.explicit_resnorm is not None:
+
+            def _recheck(args):
+                s, buf = args
+                rn = method.explicit_resnorm(method.xk(s)).astype(rdtype)
+                buf2 = lax.dynamic_update_index_in_dim(buf, rn, k, 0)
+                return buf2, jnp.all(rn <= criterion)
+
+            def _pass(args):
+                return args[1], jnp.asarray(False)
+
+            buf, ok = lax.cond(below, _recheck, _pass, (s, buf))
+        else:
+            ok = below
+
+        done_now = ok | (k >= maxiter)
+
+        def _step(args):
+            s, k, buf = args
+            s2 = method.step(s, criterion)
+            rn = jnp.asarray(s2.resnorm).astype(rdtype)
+            if has_early:
+                # mid-iteration exit overwrites the last entry, no append
+                write_at = jnp.where(s2.early_success, k, k + 1)
+                k2 = jnp.where(s2.early_success, k, k + 1)
+            else:
+                write_at = k + 1
+                k2 = k + 1
+            buf2 = lax.dynamic_update_index_in_dim(buf, rn, write_at, 0)
+            return s2, k2, buf2
+
+        def _nostep(args):
+            return args
+
+        s, k, buf = lax.cond(done_now, _nostep, _step, (s, k, buf))
+
+        if has_early:
+            early = s.early_success & ~done_now
+            success = ok | early
+            done = done_now | early
+        else:
+            success = ok
+            done = done_now
+        return s, k, buf, done, success
+
+    def cond(carry):
+        return ~carry[3]
+
+    carry0 = (
+        state0,
+        jnp.asarray(0, jnp.int32),
+        buf,
+        jnp.asarray(False),
+        jnp.asarray(False),
+    )
+    state, k, buf, _, success = lax.while_loop(cond, body, carry0)
+
+    if isinstance(k, jax.core.Tracer):
+        # inside user jit: hand back the raw buffer + count
+        return state, success, k, buf
+
+    k = int(k)
+    return state, bool(success), k, np.asarray(buf)[: k + 1]

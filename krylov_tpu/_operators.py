@@ -1,0 +1,185 @@
+"""Operator layer (L0).
+
+Structural typing for anything applied with ``@`` plus a small zoo of concrete
+operators.  Capability parity with the reference operator protocol
+(reference: src/krylov/_helpers.py:14-90), re-designed for JAX:
+
+* every concrete operator here is a **registered pytree**, so operators flow
+  through ``jit`` / ``lax.while_loop`` / ``shard_map`` as ordinary arguments —
+  this is what lets one solver implementation run eagerly on host *and*
+  fully compiled on a TPU mesh;
+* ``rmatvec`` (adjoint matvec, needed by BiCG/QMR/CGNE/CGNR) is provided
+  functionally instead of via cached transposed copies.
+"""
+
+from typing import Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import register_pytree_node_class
+
+
+class LinearOperator(Protocol):
+    def __matmul__(self, x): ...
+
+
+class RLinearOperator(LinearOperator, Protocol):
+    def rmatvec(self, x): ...
+
+
+@register_pytree_node_class
+class Identity:
+    """No-op operator, default preconditioner.
+
+    dtype is ``uint8`` so it never widens the common dtype of a product
+    (behavior parity: reference src/krylov/_helpers.py:26-36).
+    """
+
+    dtype = np.dtype("uint8")
+
+    def __matmul__(self, x):
+        return x
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        return x
+
+    def tree_flatten(self):
+        return (), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls()
+
+
+@register_pytree_node_class
+class Product:
+    """Lazy operator composition, applied right-to-left.
+
+    ``Product(Ml, A, Mr) @ x == Ml @ (A @ (Mr @ x))`` (behavior parity:
+    reference src/krylov/_helpers.py:39-48).
+    """
+
+    def __init__(self, *operators):
+        self.operators = operators
+        self.dtype = np.result_type(*(op.dtype for op in operators))
+
+    def __matmul__(self, x):
+        out = x
+        for op in self.operators[::-1]:
+            out = op @ out
+        return out
+
+    def tree_flatten(self):
+        return self.operators, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@register_pytree_node_class
+class MatrixOperator:
+    """Dense-matrix operator backed by a device array.
+
+    The matvec is an XLA GEMM/GEMV (MXU on TPU); the adjoint matvec is
+    computed as ``conj(A.T @ conj(x))`` with no cached adjoint copy
+    (capability parity: reference src/krylov/_helpers.py:51-80).
+    """
+
+    def __init__(self, a):
+        self.a = a
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    def __matmul__(self, x):
+        return self.a @ x
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        """y = A^H @ x."""
+        return jnp.conj(self.a.T @ jnp.conj(x))
+
+    def diagonal(self):
+        return jnp.diagonal(self.a)
+
+    def tree_flatten(self):
+        return (self.a,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class CallableOperatorWrapper:
+    """Wraps an arbitrary object that implements ``__matmul__``.
+
+    Used for duck-typed user operators (e.g. scipy LinearOperator or any
+    object with ``@``); eager-mode only since the callable may not be
+    traceable.  ``rmatvec`` delegates if available, otherwise tries the cached
+    conjugate transpose (capability parity: reference
+    src/krylov/_helpers.py:51-90).
+    """
+
+    def __init__(self, obj):
+        self._obj = obj
+        self._adj = None
+        self.shape = getattr(obj, "shape", None)
+        self.dtype = getattr(obj, "dtype", None)
+        if self.dtype is None:
+            self.dtype = np.dtype(float)
+
+    def __matmul__(self, x):
+        return self._obj @ x
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        if hasattr(self._obj, "rmatvec"):
+            return self._obj.rmatvec(x)
+        if self._adj is None:
+            self._adj = self._obj.T.conj()
+        return self._adj @ x
+
+    def diagonal(self):
+        return self._obj.diagonal()
+
+
+def as_operator(A):
+    """Normalize anything with ``@`` into an operator this library can drive.
+
+    * jnp/np ndarrays -> :class:`MatrixOperator` (device GEMV + functional
+      adjoint),
+    * scipy sparse matrices -> :class:`krylov_tpu.ops.CSROperator` (on-device
+      CSR with TPU SpMV kernels),
+    * objects already exposing ``rmatvec`` are used as-is,
+    * any other object with ``__matmul__`` is wrapped.
+
+    (Capability parity: reference src/krylov/_helpers.py:83-90.)
+    """
+    if isinstance(A, (jax.Array, np.ndarray)) or (
+        hasattr(A, "__array__") and hasattr(A, "ndim") and not hasattr(A, "tocsr")
+    ):
+        return MatrixOperator(jnp.asarray(A))
+
+    if hasattr(A, "tocsr"):  # scipy sparse, without importing scipy here
+        from .ops.sparse import CSROperator
+
+        return CSROperator.from_scipy(A)
+
+    if not hasattr(A, "__matmul__"):
+        raise ValueError(f"Unknown linear operator A = {A}")
+
+    if hasattr(A, "rmatvec"):
+        return A
+
+    return CallableOperatorWrapper(A)

@@ -1,0 +1,29 @@
+"""Shared solver preamble.
+
+Uniform argument handling for every method (matching the reference's uniform
+solver signature, reference: src/krylov/cg.py:96-113 et al.): RHS coercion,
+square-shape checks, operator normalization, default inner product, default
+zero initial guess, ``maxiter=None -> N``.
+"""
+
+import jax.numpy as jnp
+
+from .._inner import get_default_inner
+from .._operators import Identity, as_operator
+
+
+def setup(A, b, x0=None, inner=None, maxiter=None):
+    b = jnp.asarray(b)
+    A = as_operator(A)
+    assert len(A.shape) == 2
+    assert A.shape[0] == A.shape[1]
+    assert A.shape[1] == b.shape[0]
+    N = A.shape[0]
+    inner = get_default_inner(b.shape) if inner is None else inner
+    maxiter = N if maxiter is None else maxiter
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    return A, b, x0, N, inner, maxiter
+
+
+def preconditioner(M):
+    return Identity() if M is None else as_operator(M)
