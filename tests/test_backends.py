@@ -1,0 +1,53 @@
+"""Eager-vs-compiled driver equivalence.
+
+Every solver's eager (host loop) and while_loop (compiled) backends must
+produce the same success flag, step count, and residual trajectory — this
+pins that the single functional step really is the shared core.
+"""
+
+import numpy as np
+import pytest
+
+import krylov_tpu as krylov
+
+from .linear_problems import hpd, real_unsymmetric
+from .linear_problems import spd_dense as spd
+from .linear_problems import symmetric_indefinite
+
+PROBLEMS = {
+    "spd": spd((5,)),
+    "spd_5x3": spd((5, 3)),
+    "hpd": hpd(),
+    "symm_indef": symmetric_indefinite(),
+    "real_unsymm": real_unsymmetric(),
+}
+
+# solver name -> problems it supports
+CASES = {
+    "cg": ["spd", "spd_5x3", "hpd"],
+    "minres": ["spd", "spd_5x3", "hpd", "symm_indef"],
+    "gmres": ["spd", "spd_5x3", "hpd", "symm_indef", "real_unsymm"],
+}
+
+
+@pytest.mark.parametrize(
+    "solver,pname",
+    [(s, p) for s, plist in CASES.items() for p in plist],
+)
+def test_backend_equivalence(solver, pname):
+    if not hasattr(krylov, solver):
+        pytest.skip(f"{solver} not implemented yet")
+    A, b = PROBLEMS[pname]
+    fn = getattr(krylov, solver)
+
+    kwargs = {"tol": 1e-7, "maxiter": b.shape[0]}
+    sol_e, info_e = fn(A, b, backend="eager", **kwargs)
+    sol_w, info_w = fn(A, b, backend="while_loop", **kwargs)
+
+    assert info_w.success == info_e.success
+    assert info_w.numsteps == info_e.numsteps
+    re = np.asarray(info_e.resnorms)
+    rw = np.asarray(info_w.resnorms)
+    assert re.shape == rw.shape
+    assert np.all(np.abs(re - rw) <= 1e-11 * (1 + re))
+    assert np.allclose(np.asarray(info_e.xk), np.asarray(info_w.xk), atol=1e-9)
