@@ -15,6 +15,7 @@ from . import ops, utils
 from .__about__ import __version__
 from ._info import Info
 from ._operators import Identity, Product, as_operator
+from .arnoldi import ArnoldiHouseholder, ArnoldiLanczos, ArnoldiMGS, arnoldi_res
 from .errors import ArgumentError
 from .givens import givens
 from .householder import Householder
@@ -27,6 +28,10 @@ __all__ = [
     *_solver_names,
     "utils",
     "ops",
+    "ArnoldiHouseholder",
+    "ArnoldiMGS",
+    "ArnoldiLanczos",
+    "arnoldi_res",
     "Householder",
     "givens",
     "Identity",

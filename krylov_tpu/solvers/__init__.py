@@ -1,5 +1,36 @@
+from .bicg import bicg
+from .bicgstab import bicgstab
 from .cg import cg
+from .cgne import cgne
+from .cgnr import cgnr
+from .cgr import cgr
+from .cgs import cgs
+from .chebyshev import chebyshev
+from .gcr import gcr
 from .gmres import gmres
 from .minres import minres
+from .qmr import qmr
+from .stationary import gauss_seidel, jacobi, richardson, sor, ssor
+from .symmlq import symmlq
 
-__all__ = ["cg", "gmres", "minres"]
+__all__ = [
+    "gauss_seidel",
+    "jacobi",
+    "richardson",
+    "sor",
+    "ssor",
+    #
+    "bicg",
+    "bicgstab",
+    "cg",
+    "cgne",
+    "cgnr",
+    "cgr",
+    "cgs",
+    "chebyshev",
+    "gcr",
+    "gmres",
+    "minres",
+    "qmr",
+    "symmlq",
+]

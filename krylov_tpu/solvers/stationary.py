@@ -1,0 +1,169 @@
+"""Stationary iterative methods: Richardson, Jacobi, Gauss–Seidel, SOR, SSOR.
+
+Capability parity with the reference (reference: src/krylov/stationary.py):
+a shared driver iterates ``x += update(r); r = b - A x`` with no explicit
+residual re-check (reference: src/krylov/stationary.py:138-140 — the
+recurrence *is* the explicit residual here).
+
+Triangular sweeps: for a dense matrix, jax's triangular solve reads only the
+requested triangle, exactly like the scipy call the reference makes
+(reference: src/krylov/stationary.py:29-30).  For sparse operators the
+triangle is materialized densely below ``_DENSE_SWEEP_MAX`` rows (small-
+problem parity path).  Above that, GS/SOR/SSOR are meaningful as *smoothers*,
+and the distributed story treats them as such (hybrid block-Jacobi boundaries
+between shards — see krylov_tpu.parallel); a level-scheduled sparse
+triangular kernel is the dedicated path for large single-chip sweeps.
+"""
+
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from .._driver import EAGER, Method, run
+from .._info import Info
+from .._inner import ensure_real
+from .._operators import MatrixOperator, as_operator
+from ._common import setup
+
+_DENSE_SWEEP_MAX = 8192
+
+
+class StationaryState(NamedTuple):
+    x: jnp.ndarray
+    r: jnp.ndarray
+    resnorm: jnp.ndarray
+
+
+def _stationary(
+    update,
+    A,
+    b,
+    x0=None,
+    inner: Optional[Callable] = None,
+    tol: float = 1e-5,
+    atol: float = 1.0e-15,
+    maxiter: Optional[int] = None,
+    callback: Optional[Callable] = None,
+    backend: str = EAGER,
+):
+    A, b, x0_arr, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)
+
+    def _norm(x):
+        return jnp.sqrt(ensure_real(inner(x, x), "<x, x>"))
+
+    x_init = x0_arr
+    r0 = jnp.asarray(b) if x0 is None else b - A @ x_init
+
+    if callback is not None:
+        callback(x_init, r0)
+
+    state0 = StationaryState(x=x_init.astype(r0.dtype), r=r0, resnorm=_norm(r0))
+
+    def step(s: StationaryState, criterion) -> StationaryState:
+        x = s.x + update(s.r)
+        r = b - A @ x
+        return StationaryState(x=x, r=r, resnorm=_norm(r))
+
+    method = Method(
+        step=step,
+        xk=lambda s: s.x,
+        explicit_resnorm=None,  # stationary methods skip the double-check
+        callback_args=lambda s: (s.x, s.r),
+    )
+    state, success, k, resnorms = run(
+        state0, method, tol=tol, atol=atol, maxiter=maxiter,
+        callback=callback, backend=backend,
+    )
+    info = Info(success, state.x, k, resnorms)
+    if isinstance(success, (bool, np.bool_)):
+        return state.x if success else None, info
+    return state.x, info
+
+
+def _dense_matrix(A):
+    """Materialize a dense device matrix for small triangular sweeps."""
+    op = as_operator(A)
+    if isinstance(op, MatrixOperator):
+        return op.a
+    if hasattr(op, "todense"):
+        n = op.shape[0]
+        if n > _DENSE_SWEEP_MAX:
+            raise NotImplementedError(
+                f"sparse triangular sweeps above {_DENSE_SWEEP_MAX} rows are not "
+                "materialized densely; use the smoother form or a Krylov method"
+            )
+        return jnp.asarray(op.todense())
+    raise ValueError("Gauss-Seidel/SOR/SSOR need a matrix (not a bare operator)")
+
+
+def _diagonal(A):
+    op = as_operator(A)
+    if hasattr(op, "diagonal"):
+        return jnp.asarray(op.diagonal())
+    raise ValueError("operator does not expose a diagonal()")
+
+
+def _bcast(d, r):
+    return d.reshape((-1,) + (1,) * (r.ndim - 1))
+
+
+def richardson(*args, omega: float = 1.0, **kwargs):
+    """x_{k+1} = x_k + omega * r  (reference: src/krylov/stationary.py:11-12)."""
+    return _stationary(lambda r: omega * r, *args, **kwargs)
+
+
+def jacobi(A, *args, omega: float = 1.0, **kwargs):
+    """x_{k+1} = x_k + omega * D^{-1} r (reference: src/krylov/stationary.py:15-23)."""
+    D = _diagonal(A)
+
+    def _update(r):
+        return omega * r / _bcast(D, r)
+
+    return _stationary(_update, A, *args, **kwargs)
+
+
+def gauss_seidel(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
+    """x_{k+1} = x_k + omega * tri(A)^{-1} r
+
+    (reference: src/krylov/stationary.py:26-40)
+    """
+    Ad = _dense_matrix(A)
+
+    def tri_solve(y):
+        return omega * jsl.solve_triangular(Ad, y, lower=lower)
+
+    return _stationary(tri_solve, A, *args, **kwargs)
+
+
+def sor(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
+    """x_{k+1} = x_k + (D/omega + L)^{-1} r (reference: src/krylov/stationary.py:43-61)."""
+    Ad = _dense_matrix(A)
+    d_ = jnp.diagonal(Ad) / omega
+    A_ = Ad.at[jnp.arange(Ad.shape[0]), jnp.arange(Ad.shape[0])].set(d_)
+
+    def tri_solve(y):
+        return jsl.solve_triangular(A_, y, lower=lower)
+
+    return _stationary(tri_solve, A, *args, **kwargs)
+
+
+def ssor(A, *args, omega: float = 1.0, **kwargs):
+    """Symmetric SOR: forward sweep, diagonal scale, backward sweep.
+
+    P = omega/(2-omega) * (D/omega + L) D^{-1} (D/omega + U)
+    (reference: src/krylov/stationary.py:64-94)
+    """
+    Ad = _dense_matrix(A)
+    d = jnp.diagonal(Ad)
+    idx = jnp.arange(Ad.shape[0])
+    A_ = Ad.at[idx, idx].set(d / omega)
+
+    def solve(y):
+        y = jsl.solve_triangular(A_, y, lower=True)
+        y = y * _bcast(d, y)
+        y = jsl.solve_triangular(A_, y, lower=False)
+        return (2 - omega) / omega * y
+
+    return _stationary(solve, A, *args, **kwargs)

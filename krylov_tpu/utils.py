@@ -1,3 +1,239 @@
-"""Analysis utilities (L4). Populated incrementally; see reference src/krylov/utils.py."""
+"""Analysis utilities (L4).
 
-__all__ = []
+Capability parity with the reference's utils module (reference:
+src/krylov/utils.py): custom-inner QR, principal angles between subspaces,
+the Hegedüs initial-guess rescaling, the Strakoš test matrix, spectral gaps,
+and the overflow-safe normalized-roots polynomial.
+
+QR/angles run on-device (``jnp.linalg.qr`` / ``jnp.linalg.svd`` instead of
+LAPACK FFI crossings); the polynomial root utilities remain host-side numpy —
+they are analysis-only and never sit on a hot path (SURVEY.md §2.2).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import ArgumentError
+
+__all__ = [
+    "qr",
+    "angles",
+    "hegedus",
+    "strakos",
+    "gap",
+    "NormalizedRootsPolynomial",
+]
+
+
+def qr(X, inner=None, reorthos: int = 1):
+    """QR factorization with a customizable inner product.
+
+    With the default inner product this defers to the on-device
+    ``jnp.linalg.qr``; with a custom inner it runs (re-orthogonalized)
+    modified Gram–Schmidt (reference: src/krylov/utils.py:11-39).
+
+    :param X: array with ``shape == (N, k)``.
+    :param reorthos: number of reorthogonalizations (default 1, i.e. two MGS
+        sweeps).
+    :return: ``(Q, R)`` with ``<Q, Q> = I_k`` and R upper triangular.
+    """
+    X = jnp.asarray(X)
+    if inner is None and X.shape[1] > 0:
+        return jnp.linalg.qr(X, mode="reduced")
+
+    N, k = X.shape
+    Q = X
+    R = jnp.zeros((k, k), dtype=X.dtype)
+    for i in range(k):
+        for _ in range(reorthos + 1):
+            for j in range(i):
+                alpha = inner(Q[:, [j]], Q[:, [i]])
+                alpha = jnp.asarray(alpha).reshape(())
+                R = R.at[j, i].add(alpha)
+                Q = Q.at[:, [i]].add(-alpha * Q[:, [j]])
+        nrm2 = jnp.asarray(inner(Q[:, [i]], Q[:, [i]])).reshape(())
+        rii = jnp.sqrt(jnp.linalg.norm(nrm2.reshape(1), 2))
+        R = R.at[i, i].set(rii)
+        Q = Q.at[:, [i]].set(
+            jnp.where(rii >= 1e-15, Q[:, [i]] / jnp.where(rii >= 1e-15, rii, 1.0), Q[:, [i]])
+        )
+    return Q, R
+
+
+def angles(F, G, inner=None, compute_vectors: bool = False):
+    """Principal angles between subspaces.
+
+    Knyazev & Argentati alg. 6.2 (small-angle safe, optional principal
+    vectors), with the same return contract as the reference
+    (reference: src/krylov/utils.py:42-141).
+    """
+    F = jnp.asarray(F)
+    G = jnp.asarray(G)
+
+    if inner is None:
+        def inner(x, y):
+            return jnp.conj(x).T @ y
+
+    # make sure that F.shape[1] >= G.shape[1]
+    reverse = False
+    if F.shape[1] < G.shape[1]:
+        reverse = True
+        F, G = G, F
+
+    QF, _ = qr(F, inner=None if inner is None else inner)
+    QG, _ = qr(G, inner=None if inner is None else inner)
+
+    if G.shape[1] == 0:
+        theta = jnp.ones(F.shape[1]) * jnp.pi / 2
+        U, V = QF, QG
+    else:
+        Y, s, Z = jnp.linalg.svd(inner(QF, QG))
+        Vcos = jnp.dot(QG, jnp.conj(Z.T))
+        n_large = int(np.flatnonzero(np.asarray(s) ** 2 < 0.5).shape[0])
+        n_small = s.shape[0] - n_large
+        theta = jnp.hstack(
+            [
+                jnp.arccos(jnp.clip(s[n_small:], -1.0, 1.0)),
+                jnp.ones(F.shape[1] - G.shape[1]) * jnp.pi / 2,
+            ]
+        )
+        U = V = None
+        if compute_vectors:
+            Ucos = jnp.dot(QF, Y)
+            U = Ucos[:, n_small:]
+            V = Vcos[:, n_small:]
+
+        if n_small > 0:
+            RG = Vcos[:, :n_small]
+            S = RG - jnp.dot(QF, inner(QF, RG))
+            _, R = qr(S, inner=None if inner is None else inner)
+            Y2, u, Z2 = jnp.linalg.svd(R)
+            theta = jnp.hstack(
+                [jnp.arcsin(jnp.clip(u[::-1][:n_small], -1.0, 1.0)), theta]
+            )
+            if compute_vectors:
+                RF = Ucos[:, :n_small]
+                Vsin = jnp.dot(RG, jnp.conj(Z2.T))
+                Usin = jnp.dot(
+                    RF,
+                    jnp.dot(
+                        jnp.diag(1.0 / s[:n_small]),
+                        jnp.dot(jnp.conj(Z2.T), jnp.diag(s[:n_small])),
+                    ),
+                )
+                U = jnp.column_stack([Usin, U])
+                V = jnp.column_stack([Vsin, V])
+
+    if compute_vectors:
+        if reverse:
+            U, V = V, U
+        return theta, U, V
+    return theta
+
+
+def hegedus(A, b, x0, M=None, Ml=None, inner=None):
+    """Rescale the initial guess to gamma_min * x0 minimizing the initial
+    residual (Hegedüs trick; reference: src/krylov/utils.py:144-180)."""
+    from ._inner import get_default_inner
+
+    b = jnp.asarray(b)
+    x0 = jnp.asarray(x0)
+    if inner is None:
+        inner = get_default_inner(b.shape)
+
+    Ax0 = A @ x0
+    MlAx0 = Ax0 if Ml is None else Ml @ Ax0
+    z = MlAx0 if M is None else M @ MlAx0
+    znorm2 = inner(z, MlAx0)
+    if bool(jnp.all(jnp.real(znorm2) <= 1e-15)):
+        return jnp.zeros_like(b)
+    Mlb = b if Ml is None else Ml @ b
+    gamma = inner(z, Mlb) / znorm2
+    return gamma * x0
+
+
+def strakos(n, l_min=0.1, l_max=100, rho=0.9):
+    """The Strakoš test matrix (reference: src/krylov/utils.py:183-192)."""
+    d = [
+        l_min + (i - 1) * 1.0 / (n - 1) * (l_max - l_min) * (rho ** (n - i))
+        for i in range(1, n + 1)
+    ]
+    return jnp.diag(jnp.asarray(d))
+
+
+def gap(lamda, sigma, mode: str = "individual"):
+    """Spectral gap between two sets of real numbers.
+
+    (reference: src/krylov/utils.py:195-251)
+    """
+    if np.isscalar(lamda):
+        lamda = [lamda]
+    lamda = np.asarray(lamda)
+    if np.isscalar(sigma):
+        sigma = [sigma]
+    sigma = np.asarray(sigma)
+
+    if not np.isreal(lamda).all() or not np.isreal(sigma).all():
+        raise ArgumentError("complex spectra not yet implemented")
+
+    if mode == "individual":
+        return np.min(
+            np.abs(lamda.reshape(len(lamda), 1) - sigma.reshape(1, len(sigma)))
+        )
+    if mode == "interval":
+        lamda_min, lamda_max = np.min(lamda), np.max(lamda)
+        sigma_lo = sigma <= lamda_min
+        sigma_hi = sigma >= lamda_max
+        if not np.all(sigma_lo + sigma_hi):
+            return None
+        delta = np.inf
+        if np.any(sigma_lo):
+            delta = lamda_min - np.max(sigma[sigma_lo])
+        if np.any(sigma_hi):
+            delta = np.min([delta, np.min(sigma[sigma_hi]) - lamda_max])
+        return delta
+    raise ArgumentError(f"unknown mode {mode!r}")
+
+
+class NormalizedRootsPolynomial:
+    r"""Polynomial with prescribed roots and p(0) = 1:
+
+    .. math:: p(\lambda) = \prod_i (1 - \lambda / \theta_i)
+
+    Evaluation interlaces large and small factors to avoid over/underflow
+    (reference: src/krylov/utils.py:254-316).
+    """
+
+    def __init__(self, roots):
+        roots = np.asarray(roots)
+        if len(roots.shape) != 1:
+            raise ArgumentError("one-dimensional array of roots expected.")
+        self.roots = roots
+
+    def minmax_candidates(self):
+        """Points where the derivative vanishes (for extrema over intervals)."""
+        from numpy.polynomial import Polynomial as P
+
+        p = P.fromroots(self.roots)
+        return p.deriv(1).roots()
+
+    def __call__(self, points):
+        p = np.asarray(points)
+        if len(p.shape) > 1:
+            raise ArgumentError("scalar or one-dimensional array of points expected.")
+        n = self.roots.shape[0]
+        vals = 1 - np.atleast_1d(p) / self.roots.reshape(n, 1)
+
+        # interlace large and small magnitudes before multiplying
+        for j in range(vals.shape[1]):
+            sort_tmp = np.argsort(np.abs(vals[:, j]))
+            sort = np.zeros((n,), dtype=int)
+            mid = int(np.ceil(float(n) / 2))
+            sort[::2] = sort_tmp[:mid]
+            sort[1::2] = sort_tmp[mid:][::-1]
+            vals[:, j] = vals[sort, j]
+
+        vals = np.prod(vals, axis=0)
+        if np.isscalar(points):
+            return vals.item()
+        return vals
