@@ -171,6 +171,10 @@ def as_operator(A):
     ):
         return MatrixOperator(jnp.asarray(A))
 
+    if hasattr(A, "rmatvec"):
+        # already a full operator (ours, or e.g. scipy LinearOperator)
+        return A
+
     if hasattr(A, "tocsr"):  # scipy sparse, without importing scipy here
         from .ops.sparse import CSROperator
 
@@ -178,8 +182,5 @@ def as_operator(A):
 
     if not hasattr(A, "__matmul__"):
         raise ValueError(f"Unknown linear operator A = {A}")
-
-    if hasattr(A, "rmatvec"):
-        return A
 
     return CallableOperatorWrapper(A)

@@ -1,0 +1,29 @@
+"""Distribution layer: row-partitioned solves over a TPU mesh.
+
+First-class build components with no reference counterpart (the reference is
+a single-process NumPy program — SURVEY.md §2.3):
+
+* :func:`make_mesh` / :func:`psum_inner` — the ``(rows, rhs)`` device mesh
+  and the psum-allreduce inner product,
+* :class:`ShardedBandedOperator` — stencil row slabs with ``ppermute`` halo
+  exchange over ICI,
+* :class:`ShardedCSROperator` / :func:`partition_csr` — general sparsity with
+  automatic halo/all-gather strategy,
+* :func:`sharded_solve` — run any solver as one compiled SPMD program.
+"""
+
+from .banded import ShardedBandedOperator
+from .csr import ShardedCSROperator, partition_csr
+from .mesh import RHS, ROWS, make_mesh, psum_inner
+from .solve import sharded_solve
+
+__all__ = [
+    "make_mesh",
+    "psum_inner",
+    "ROWS",
+    "RHS",
+    "ShardedBandedOperator",
+    "ShardedCSROperator",
+    "partition_csr",
+    "sharded_solve",
+]

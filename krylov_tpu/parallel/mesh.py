@@ -1,0 +1,69 @@
+"""Mesh construction and mesh-aware reductions.
+
+The reference is a single-process NumPy program with no communication layer
+(SURVEY.md §2.3; reference: src/krylov/_helpers.py:101-110 is the only
+"parallelism" — multi-RHS einsum blocking).  Here the distribution layer is
+TPU-native from the start:
+
+* a 1-D or 2-D ``jax.sharding.Mesh`` with a ``rows`` axis (row-partitioning of
+  the operator and all iterate vectors — the problem-dimension analogue of
+  sequence parallelism) and an optional ``rhs`` axis (data-parallel blocking of
+  right-hand-side columns),
+* inner products and norms become ``jax.lax.psum`` allreduces over ``rows`` —
+  the TPU-native analogue of an NCCL allreduce, riding ICI within a slice.
+
+Every sharded solve is SPMD: the identical compiled program runs on each
+device, reductions are the only cross-device synchronization points (2 per CG
+iteration, k+1 per GMRES iteration — SURVEY.md §3.2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh
+
+ROWS = "rows"
+RHS = "rhs"
+
+
+def make_mesh(n_rows=None, n_rhs=1, devices=None):
+    """Create a ``(rows, rhs)`` device mesh.
+
+    ``n_rows=None`` uses all available devices on the rows axis.  The ``rows``
+    axis partitions the matrix rows / vector entries; the ``rhs`` axis
+    partitions right-hand-side columns (pure data parallelism — no
+    communication crosses it).
+    """
+    devices = jax.devices() if devices is None else devices
+    if n_rows is None:
+        n_rows = len(devices) // n_rhs
+    if n_rows * n_rhs > len(devices):
+        raise ValueError(
+            f"mesh ({n_rows} x {n_rhs}) needs {n_rows * n_rhs} devices, "
+            f"have {len(devices)}"
+        )
+    dev = np.asarray(devices[: n_rows * n_rhs]).reshape(n_rows, n_rhs)
+    return Mesh(dev, (ROWS, RHS))
+
+
+def psum_inner(b_shape, axis=ROWS):
+    """Mesh-aware default inner product.
+
+    Same contraction dispatch as :func:`krylov_tpu.get_default_inner`
+    (1-D -> conjugated dot, multi-RHS -> leading-axis einsum; capability
+    parity with reference src/krylov/_helpers.py:101-110) followed by a
+    ``psum`` over the row-partition axis.  Must be called inside
+    ``shard_map``; ``b_shape`` is the *local* RHS shape.
+    """
+    if len(b_shape) == 1:
+
+        def inner_dot(x, y):
+            return lax.psum(jnp.dot(jnp.conj(x), y), axis)
+
+        return inner_dot
+
+    def inner_einsum(x, y):
+        return lax.psum(jnp.einsum("i...,i...->...", jnp.conj(x), y), axis)
+
+    return inner_einsum

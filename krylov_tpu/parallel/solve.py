@@ -1,0 +1,144 @@
+"""SPMD solver driver: run any krylov_tpu solver row-partitioned over a mesh.
+
+The payoff of the L0 design (SURVEY.md §7 stage 7): operator apply and inner
+product are the only two injection points in every solver, so the *identical*
+solver code runs sharded — the operator becomes a halo-exchanging local block,
+the inner product becomes a ``psum``, and the whole solve (one
+``lax.while_loop``) compiles into a single SPMD program with zero host
+round-trips: per iteration the only cross-device traffic is the halo
+``ppermute``s inside the matvec and one/two scalar allreduces.
+
+No reference counterpart (the reference is single-process NumPy,
+reference: src/krylov/_helpers.py:101-110 is its entire "parallel" surface).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import PartitionSpec as P
+
+from .._info import Info
+from ..ops.sparse import CSROperator
+from ..ops.stencil import BandedOperator
+from .banded import ShardedBandedOperator
+from .csr import ShardedCSROperator, partition_csr
+from .mesh import ROWS, RHS, make_mesh, psum_inner
+
+
+def sharded_solve(
+    solver,
+    A,
+    b,
+    *,
+    mesh=None,
+    shard_rhs=False,
+    x0=None,
+    tol=1e-5,
+    atol=1e-15,
+    maxiter=None,
+    **solver_kwargs,
+):
+    """Solve ``A x = b`` with ``solver`` row-partitioned over ``mesh``.
+
+    * ``A`` — a :class:`~krylov_tpu.ops.stencil.BandedOperator`, a
+      :class:`~krylov_tpu.ops.CSROperator`, or a scipy sparse matrix.
+    * ``solver`` — any krylov_tpu solver accepting ``(A, b, inner=, x0=,
+      backend=)`` (cg, minres, gmres, ...).
+    * ``mesh`` — a ``(rows[, rhs])`` mesh from :func:`make_mesh` (default:
+      all devices on the rows axis).
+    * ``shard_rhs`` — additionally shard RHS columns over the ``rhs`` mesh
+      axis (pure data parallelism).
+
+    Returns ``(sol, Info)`` with reference-parity semantics: ``sol is None``
+    when unconverged, ``info.resnorms`` a host array of shape
+    ``(numsteps + 1, *b.shape[1:])``.
+    """
+    mesh = make_mesh() if mesh is None else mesh
+    n_rows = mesh.shape[ROWS]
+
+    b = jnp.asarray(b)
+    N = b.shape[0]
+    if N % n_rows:
+        raise ValueError(f"N={N} not divisible by rows-axis size {n_rows}")
+    if maxiter is None:
+        maxiter = N
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    rhs_axis = RHS if (shard_rhs and b.ndim > 1) else None
+    vec_spec = P(ROWS, *([rhs_axis] * (b.ndim - 1)))
+    buf_spec = P(None, *([rhs_axis] * (b.ndim - 1)))
+
+    if isinstance(A, BandedOperator):
+        A_arrays = (A.coeffs,)
+        A_specs = (P(None, ROWS),)
+        make_local = partial(
+            _local_banded, offsets=A.offsets, hermitian=A.hermitian
+        )
+    else:
+        if isinstance(A, CSROperator) or hasattr(A, "tocsr"):
+            part = partition_csr(A, n_rows)
+        else:
+            raise TypeError(f"cannot shard operator of type {type(A)}")
+        A_arrays = (
+            jnp.asarray(part["data"]),
+            jnp.asarray(part["col"]),
+            jnp.asarray(part["row"]),
+        )
+        A_specs = (P(ROWS, None),) * 3
+        make_local = partial(
+            _local_csr,
+            n_local=part["n_local"],
+            halo=part["halo"],
+            mode=part["mode"],
+        )
+
+    def local_solve(b_l, x0_l, *A_l):
+        A_op = make_local(*A_l)
+        inner = psum_inner(b_l.shape, ROWS)
+        xk, info = solver(
+            A_op,
+            b_l,
+            inner=inner,
+            x0=x0_l,
+            tol=tol,
+            atol=atol,
+            maxiter=maxiter,
+            backend="while_loop",
+            **solver_kwargs,
+        )
+        # success/numsteps are scalars per (rows x rhs)-shard program; with
+        # rhs sharding each rhs shard may stop at a different iteration, so
+        # expose them rank-1 along the rhs axis and combine on host.
+        return (
+            xk,
+            jnp.reshape(info.success, (1,)),
+            jnp.reshape(jnp.asarray(info.numsteps), (1,)),
+            info.resnorms,
+        )
+
+    one_spec = P(rhs_axis) if rhs_axis else P()
+    fn = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(vec_spec, vec_spec) + A_specs,
+        out_specs=(vec_spec, one_spec, one_spec, buf_spec),
+        check_vma=False,
+    )
+    xk, success, numsteps, buf = jax.jit(fn)(b, x0, *A_arrays)
+
+    numsteps = int(np.max(np.asarray(numsteps)))
+    success = bool(np.all(np.asarray(success)))
+    resnorms = np.asarray(buf)[: numsteps + 1]
+    info = Info(success, xk, numsteps, resnorms, None, None)
+    return (xk if success else None), info
+
+
+def _local_banded(coeffs, *, offsets, hermitian):
+    return ShardedBandedOperator(coeffs, offsets, axis=ROWS, hermitian=hermitian)
+
+
+def _local_csr(data, col, row, *, n_local, halo, mode):
+    return ShardedCSROperator(data[0], col[0], row[0], n_local, halo, mode, axis=ROWS)

@@ -1,0 +1,193 @@
+"""Distributed-path tests on 8 virtual CPU devices.
+
+The fake-backend mechanism the reference never needed (SURVEY.md §4): the
+conftest forces ``xla_force_host_platform_device_count=8``, so the
+row-partitioned SpMV / halo-exchange / psum paths run as a real 8-way SPMD
+program without TPU hardware.  Numerical ground truth is the single-device
+solver on the same system.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+
+import krylov_tpu
+from krylov_tpu import parallel
+from krylov_tpu.ops import stencil
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _mesh(n_rows=8, n_rhs=1):
+    return parallel.make_mesh(n_rows=n_rows, n_rhs=n_rhs)
+
+
+def test_banded_spmv_matches_dense():
+    A = stencil.poisson_2d(8, 16)  # N=128, offsets (-16,-1,0,1,16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(128))
+    want = A @ x
+
+    mesh = _mesh()
+    fn = jax.shard_map(
+        lambda c, v: parallel.ShardedBandedOperator(c, A.offsets, hermitian=True)
+        @ v,
+        mesh=mesh,
+        in_specs=(
+            jax.sharding.PartitionSpec(None, "rows"),
+            jax.sharding.PartitionSpec("rows"),
+        ),
+        out_specs=jax.sharding.PartitionSpec("rows"),
+    )
+    got = fn(A.coeffs, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
+
+
+def test_banded_rmatvec_nonsymmetric():
+    # non-symmetric banded operator: convection-diffusion-ish
+    n = 64
+    rng = np.random.default_rng(1)
+    coeffs = np.zeros((3, n))
+    offsets = (-1, 0, 1)
+    coeffs[1] = 2.0 + rng.random(n)
+    coeffs[0, 1:] = -1.3  # sub
+    coeffs[2, : n - 1] = -0.7  # super
+    A = stencil.BandedOperator(jnp.asarray(coeffs), offsets, hermitian=False)
+    x = jnp.asarray(rng.standard_normal(n))
+    want = A.rmatvec(x)
+
+    mesh = _mesh()
+    fn = jax.shard_map(
+        lambda c, v: parallel.ShardedBandedOperator(c, offsets).rmatvec(v),
+        mesh=mesh,
+        in_specs=(
+            jax.sharding.PartitionSpec(None, "rows"),
+            jax.sharding.PartitionSpec("rows"),
+        ),
+        out_specs=jax.sharding.PartitionSpec("rows"),
+    )
+    got = fn(A.coeffs, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
+
+
+@pytest.mark.parametrize("solver", [krylov_tpu.cg, krylov_tpu.minres])
+def test_sharded_solve_banded_matches_single_device(solver):
+    A = stencil.poisson_2d(8, 16)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal(128))
+
+    sol_ref, info_ref = solver(A, b, tol=1e-10, maxiter=200)
+    sol, info = parallel.sharded_solve(
+        solver, A, b, mesh=_mesh(), tol=1e-10, maxiter=200
+    )
+    assert info.success
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
+    # residual trajectories agree to tight tolerance (same arithmetic modulo
+    # reduction order)
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-8, atol=1e-12
+    )
+
+
+def test_sharded_solve_gmres_banded():
+    A = stencil.poisson_2d(8, 8)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(64))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.gmres, A, b, mesh=_mesh(), tol=1e-10, maxiter=60
+    )
+    assert info.success
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-10 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_sharded_solve_csr_halo_mode():
+    sp = scipy.sparse.diags(
+        [-1.0, 2.5, -1.0], [-1, 0, 1], shape=(64, 64), format="csr"
+    )
+    part = parallel.partition_csr(sp, 8)
+    assert part["mode"] == "halo"
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal(64))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, sp, b, mesh=_mesh(), tol=1e-12, maxiter=200
+    )
+    assert info.success
+    x_ref = scipy.sparse.linalg.spsolve(sp.tocsc(), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(sol), x_ref, atol=1e-9)
+
+
+def test_sharded_solve_csr_gather_mode():
+    # dense-ish random SPD pattern -> columns far from the diagonal
+    rng = np.random.default_rng(5)
+    n = 64
+    Q = rng.standard_normal((n, n))
+    dense = Q @ Q.T + n * np.eye(n)
+    dense[np.abs(dense) < 1.0] = 0.0
+    dense = (dense + dense.T) / 2
+    sp = scipy.sparse.csr_matrix(dense)
+    part = parallel.partition_csr(sp, 8)
+    assert part["mode"] == "gather"
+    b = jnp.asarray(rng.standard_normal(n))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, sp, b, mesh=_mesh(), tol=1e-12, maxiter=300
+    )
+    assert info.success
+    x_ref = np.linalg.solve(dense, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(sol), x_ref, atol=1e-8)
+
+
+def test_sharded_csr_rmatvec_both_modes():
+    rng = np.random.default_rng(6)
+    for pattern in ["banded", "random"]:
+        if pattern == "banded":
+            sp = scipy.sparse.diags(
+                [rng.random(63), 2 + rng.random(64), rng.random(63)],
+                [-1, 0, 1],
+                format="csr",
+            )
+        else:
+            sp = scipy.sparse.random(
+                64, 64, density=0.2, random_state=7, format="csr"
+            )
+        part = parallel.partition_csr(sp, 8)
+        x = jnp.asarray(rng.standard_normal(64))
+        want = sp.T.conj() @ np.asarray(x)
+
+        mesh = _mesh()
+        P = jax.sharding.PartitionSpec
+        fn = jax.shard_map(
+            lambda d, c, r, v: parallel.ShardedCSROperator(
+                d[0], c[0], r[0], part["n_local"], part["halo"], part["mode"]
+            ).rmatvec(v),
+            mesh=mesh,
+            in_specs=(P("rows", None), P("rows", None), P("rows", None), P("rows")),
+            out_specs=P("rows"),
+            check_vma=False,
+        )
+        got = fn(
+            jnp.asarray(part["data"]),
+            jnp.asarray(part["col"]),
+            jnp.asarray(part["row"]),
+            x,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
+
+
+def test_sharded_solve_multi_rhs_over_rhs_axis():
+    A = stencil.poisson_2d(8, 8)
+    rng = np.random.default_rng(8)
+    b = jnp.asarray(rng.standard_normal((64, 2)))
+    mesh = parallel.make_mesh(n_rows=4, n_rhs=2)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=mesh, shard_rhs=True, tol=1e-10, maxiter=200
+    )
+    assert info.success
+    sol_ref, _ = krylov_tpu.cg(A, b, tol=1e-10, maxiter=200)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
+    assert info.resnorms.shape[1:] == (2,)
