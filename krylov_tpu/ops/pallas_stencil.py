@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for banded/stencil SpMV.
+
+The hot inner op of every Krylov solve on the PDE benchmark family
+(SURVEY.md §3: one SpMV per CG iteration).  The banded matvec is
+HBM-bandwidth-bound: ideal traffic is ``(ndiag + 2) * N`` words (coefficient
+planes + x read + y write).  XLA's fusion of the shifted-slice formulation
+materializes intermediates and pays misalignment penalties (measured ~12% of
+roofline for the flattened 1-D form, ~52% for the padded 2-D form on v5e);
+this kernel streams every operand exactly once.
+
+Layout contract: the grid is collapsed to 2-D ``(M, ny)`` — any n-D stencil
+flattens here (e.g. 3-D ``(nz, ny, nx)`` becomes ``(nz * ny, nx)`` with row
+offsets ``dz * ny + dy``).  Each band is a ``(row_offset, col_offset)``
+pair; the kernel computes
+
+    y[i, j] = sum_d  c[d, i, j] * x[i + dr[d], j + dc[d]]
+
+Row shifts: the row block is tiled over the grid; the ``h`` rows crossing a
+block boundary come from two small pre-gathered halo-plane arrays (built
+with cheap strided slices outside the kernel — ``2 * h * n_blocks * ny``
+extra words, negligible), so every slice inside the kernel is static and
+aligned.  Column shifts are lane rolls (``pltpu.roll``).  Rolled-in
+wrap-around values are multiplied by coefficients that the stencil
+constructors zero at domain boundaries (Dirichlet masking lives in the
+data, not the kernel), so no branch or mask appears in the inner loop;
+row-halo reads outside the domain are explicit zeros.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets, col_offsets, h, tm):
+    # full extended window [top halo | block | bottom halo] is materialized
+    # once; the per-band reads below are static slices of it
+    xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
+    acc = None
+    for d, (dr, dc) in enumerate(zip(row_offsets, col_offsets)):
+        seg = xw[h + dr : h + dr + tm]
+        if dc:
+            # lanes j + dc == roll left by dc (wrap killed by zero boundary
+            # coefficients); pltpu.roll requires a non-negative static shift
+            seg = pltpu.roll(seg, (-dc) % seg.shape[1], axis=1)
+        term = c_ref[d] * seg
+        acc = term if acc is None else acc + term
+    y_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row_offsets", "col_offsets", "block_rows")
+)
+def stencil2d_matvec(coeffs, x, row_offsets, col_offsets, block_rows=None):
+    """``y[i,j] = sum_d coeffs[d,i,j] * x[i+row_offsets[d], j+col_offsets[d]]``.
+
+    ``coeffs``: (ndiag, M, ny); ``x``: (M, ny).  Out-of-range row reads are
+    zero; column reads wrap — callers must zero the wrap coefficients (the
+    Poisson/stencil constructors do).
+    """
+    ndiag, M, ny = coeffs.shape
+    h = max((max(0, -min(row_offsets)), max(0, max(row_offsets))))
+
+    if block_rows is None:
+        # fit (double-buffered) operand blocks in ~12 MB of VMEM
+        budget = 12 * 1024 * 1024 // 2
+        per_row = (ndiag + 2) * ny * coeffs.dtype.itemsize
+        block_rows = max(8, min(512, budget // per_row))
+    cap = min(block_rows, M)
+    # largest divisor of M that is <= cap, a multiple of 8, and >= h
+    tm = next(
+        (t for t in range(cap, 7, -1) if M % t == 0 and t % 8 == 0 and t >= h),
+        None,
+    )
+    if tm is None:  # tiny/odd shapes: fall back to one block
+        tm = M
+    nb = M // tm
+
+    # halo planes: top[k] = x[k*tm - h : k*tm], bottom[k] = x[(k+1)*tm : +h]
+    # (zeros outside the domain); built from strided slices — reads only
+    # 2*h*nb*ny elements of x, no full extra pass
+    if h > 0:
+        xr = x.reshape(nb, tm, ny)
+        zero = jnp.zeros((1, h, ny), x.dtype)
+        tops = jnp.concatenate([zero, xr[:-1, tm - h :]], axis=0)
+        bots = jnp.concatenate([xr[1:, :h], zero], axis=0)
+    else:
+        tops = jnp.zeros((nb, 0, ny), x.dtype)
+        bots = jnp.zeros((nb, 0, ny), x.dtype)
+
+    kern = functools.partial(
+        _kernel, row_offsets=row_offsets, col_offsets=col_offsets, h=h, tm=tm
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (ndiag, tm, ny), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, ny), jnp.result_type(coeffs, x)),
+    )(coeffs, x, tops, bots)
+
+
+def supports(dtype, M, ny, row_offsets):
+    """Whether the Pallas path applies: TPU backend, lane-aligned columns."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    h = max((max(0, -min(row_offsets)), max(0, max(row_offsets))))
+    return (
+        on_tpu
+        and ny % 128 == 0
+        and M % 8 == 0
+        and h <= M // 2
+        and jnp.dtype(dtype) in (jnp.float32, jnp.bfloat16)
+    )

@@ -126,6 +126,120 @@ class BandedOperator:
         return cls(children[0], offsets, hermitian=hermitian)
 
 
+@register_pytree_node_class
+class GridStencilOperator(BandedOperator):
+    """Banded operator whose bands decompose over a grid with last dim ``ny``.
+
+    Same flat ``(N,)``-vector interface and semantics as
+    :class:`BandedOperator`, plus a grid factorization ``offset = dr * ny +
+    dc`` (``|dc| < ny/2``) that unlocks the TPU speed-of-light path: the
+    matvec runs as a 2-D stencil — row shifts on the sublane dim, column
+    shifts as lane rolls — via the Pallas kernel
+    (:mod:`krylov_tpu.ops.pallas_stencil`) on TPU, or a padded-2-D XLA
+    formulation elsewhere (both measured far ahead of the flattened 1-D
+    shifted-slice form: ~12x and ~4.3x on v5e).
+
+    Contract: coefficients must be zero wherever the 2-D neighbor
+    ``(i + dr, j + dc)`` leaves the grid (the constructors here guarantee
+    it); the kernel's wrapped/zero halo reads are then unobservable.
+
+    Coefficients are stored in the 2-D ``(ndiag, M, ny)`` device layout
+    (1-D<->2-D reshapes are relayout copies on TPU tiled memory — measured
+    ~3x per-matvec penalty when done per iteration); the flat ``(ndiag, N)``
+    view used by the inherited utility methods is exposed as a property.
+    Vectors may be flat ``(N,)`` or grid-shaped ``(M, ny)``; grid-shaped
+    vectors avoid the per-iteration vector relayout entirely and are the
+    fast path for whole solves (inner products and axpys are shape-agnostic,
+    so every solver works on them with a full-contraction ``inner``).
+    """
+
+    def __init__(self, coeffs, offsets, ny, hermitian=False):
+        self.offsets = tuple(int(o) for o in offsets)
+        self.hermitian = bool(hermitian)
+        self.ny = int(ny)
+        if coeffs.ndim == 2:
+            n = coeffs.shape[1]
+            if n % self.ny:
+                raise ValueError(f"N={n} not a multiple of grid last-dim {ny}")
+            coeffs = coeffs.reshape(coeffs.shape[0], n // self.ny, self.ny)
+        self.coeffs2d = coeffs  # (ndiag, M, ny)
+        self.row_offsets = tuple(
+            int(round(o / self.ny)) for o in self.offsets
+        )
+        self.col_offsets = tuple(
+            int(o - r * self.ny) for o, r in zip(self.offsets, self.row_offsets)
+        )
+        if any(abs(c) >= self.ny for c in self.col_offsets):
+            raise ValueError(
+                f"offsets {self.offsets} do not decompose over ny={ny}"
+            )
+
+    @property
+    def coeffs(self):
+        """Flat row-aligned view (ndiag, N) — utility paths only."""
+        nd, M, ny = self.coeffs2d.shape
+        return self.coeffs2d.reshape(nd, M * ny)
+
+    @property
+    def grid(self):
+        """(M, ny) collapsed grid shape of this operator's vector space."""
+        return self.coeffs2d.shape[1:]
+
+    # solvers accept grid-shaped vectors for this operator (solvers/_common.py)
+    vector_shape = grid
+
+    def _matvec_2d(self, c2, x2):
+        """Padded-shift XLA formulation on the (M, ny) grid view."""
+        y = None
+        for d, (dr, dc) in enumerate(zip(self.row_offsets, self.col_offsets)):
+            seg = x2
+            if dr > 0:
+                seg = jnp.pad(seg[dr:], ((0, dr), (0, 0)))
+            elif dr < 0:
+                seg = jnp.pad(seg[:dr], ((-dr, 0), (0, 0)))
+            if dc > 0:
+                seg = jnp.pad(seg[:, dc:], ((0, 0), (0, dc)))
+            elif dc < 0:
+                seg = jnp.pad(seg[:, :dc], ((0, 0), (-dc, 0)))
+            term = c2[d] * seg
+            y = term if y is None else y + term
+        return y
+
+    def _apply_grid(self, x2):
+        from . import pallas_stencil
+
+        M, ny = self.grid
+        if pallas_stencil.supports(x2.dtype, M, ny, self.row_offsets):
+            return pallas_stencil.stencil2d_matvec(
+                self.coeffs2d, x2, self.row_offsets, self.col_offsets
+            )
+        return self._matvec_2d(self.coeffs2d, x2)
+
+    def __matmul__(self, x):
+        M, ny = self.grid
+        if x.ndim == 2 and x.shape == (M, ny):
+            return self._apply_grid(x)  # grid-shaped vector: no relayout
+        if x.ndim != 1:
+            # multi-RHS (N, k): generic banded path for now
+            return BandedOperator.__matmul__(self, x)
+        return self._apply_grid(x.reshape(M, ny)).reshape(x.shape)
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        if self.hermitian:
+            return self @ x
+        return BandedOperator.rmatvec(self, x)
+
+    def tree_flatten(self):
+        return (self.coeffs2d,), (self.offsets, self.ny, self.hermitian)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        offsets, ny, hermitian = aux
+        return cls(children[0], offsets, ny, hermitian=hermitian)
+
+
 def _laplacian_coeffs(shape_nd, dtype):
     """Row-wise banded coefficients of the (2*d)-point Laplacian on an
     n-D grid with natural (last-axis-fastest) ordering and Dirichlet BCs."""
@@ -168,12 +282,16 @@ def poisson_2d(nx, ny=None, dtype=np.float64):
     """5-point 2-D Laplacian (Dirichlet) on an (nx, ny) grid."""
     ny = nx if ny is None else ny
     coeffs, offsets = _laplacian_coeffs((nx, ny), np.dtype(dtype))
-    return BandedOperator(jnp.asarray(coeffs), offsets, hermitian=True)
+    return GridStencilOperator(jnp.asarray(coeffs), offsets, ny, hermitian=True)
 
 
 def poisson_3d(nx, ny=None, nz=None, dtype=np.float64):
-    """7-point 3-D Laplacian (Dirichlet) on an (nx, ny, nz) grid."""
+    """7-point 3-D Laplacian (Dirichlet) on an (nx, ny, nz) grid.
+
+    Grid-collapsed to 2-D ``(nx * ny, nz)``: offsets ±1 are lane shifts,
+    ±nz and ±ny*nz are sublane (row) shifts.
+    """
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
     coeffs, offsets = _laplacian_coeffs((nx, ny, nz), np.dtype(dtype))
-    return BandedOperator(jnp.asarray(coeffs), offsets, hermitian=True)
+    return GridStencilOperator(jnp.asarray(coeffs), offsets, nz, hermitian=True)

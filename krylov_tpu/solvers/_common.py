@@ -17,9 +17,19 @@ def setup(A, b, x0=None, inner=None, maxiter=None):
     A = as_operator(A)
     assert len(A.shape) == 2
     assert A.shape[0] == A.shape[1]
-    assert A.shape[1] == b.shape[0]
     N = A.shape[0]
-    inner = get_default_inner(b.shape) if inner is None else inner
+    # operators may declare a native (non-flat) vector space, e.g. the
+    # grid-shaped (M, ny) vectors of GridStencilOperator that avoid TPU
+    # relayout copies; such solves need an explicit full-contraction inner
+    vec_shape = getattr(A, "vector_shape", None)
+    if vec_shape is not None and tuple(b.shape) == tuple(vec_shape):
+        if inner is None:
+            raise ValueError(
+                "operator-native vector shapes require an explicit inner"
+            )
+    else:
+        assert A.shape[1] == b.shape[0]
+        inner = get_default_inner(b.shape) if inner is None else inner
     maxiter = N if maxiter is None else maxiter
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     return A, b, x0, N, inner, maxiter

@@ -1,0 +1,125 @@
+"""GridStencilOperator: 2-D/3-D grid stencils vs dense/CSR ground truth.
+
+The Pallas TPU kernel itself only runs on TPU; these CPU tests cover the
+XLA grid formulation (the same code path chooses between them), the
+grid-offset decomposition, and solver integration.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import krylov_tpu
+from krylov_tpu.ops import stencil
+
+
+@pytest.mark.parametrize(
+    "make,n",
+    [
+        (lambda: stencil.poisson_2d(8, 16), 128),
+        (lambda: stencil.poisson_2d(16, 8), 128),
+        (lambda: stencil.poisson_3d(4, 5, 8), 160),
+    ],
+)
+def test_grid_matvec_matches_csr(make, n):
+    A = make()
+    assert isinstance(A, stencil.GridStencilOperator)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n))
+    want = A.tocsr() @ x
+    got = A @ x
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
+
+
+def test_grid_offset_decomposition():
+    A = stencil.poisson_2d(4, 8)
+    assert A.offsets == (-8, -1, 0, 1, 8)
+    assert A.row_offsets == (-1, 0, 0, 0, 1)
+    assert A.col_offsets == (0, -1, 0, 1, 0)
+
+    B = stencil.poisson_3d(3, 4, 8)
+    # strides: ny*nz = 32, nz = 8, 1
+    assert B.ny == 8
+    assert set(zip(B.row_offsets, B.col_offsets)) == {
+        (-4, 0), (-1, 0), (0, -1), (0, 0), (0, 1), (1, 0), (4, 0),
+    }
+
+
+def test_grid_rmatvec_hermitian():
+    A = stencil.poisson_2d(8, 8)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(64))
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(x)), np.asarray(A @ x), atol=1e-13
+    )
+
+
+def test_cg_on_grid_operator():
+    A = stencil.poisson_2d(8, 16)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal(128))
+    sol, info = krylov_tpu.cg(A, b, tol=1e-12, maxiter=400)
+    assert info.success
+    r = np.asarray(b) - np.asarray(A @ sol)
+    assert np.linalg.norm(r) <= 1e-11 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_grid_multi_rhs_falls_back():
+    A = stencil.poisson_2d(8, 8)
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((64, 3)))
+    want = np.stack([np.asarray(A @ X[:, k]) for k in range(3)], axis=1)
+    got = np.asarray(A @ X)
+    np.testing.assert_allclose(got, want, atol=1e-13)
+
+
+def test_pallas_kernel_interpret_mode():
+    """Run the actual Pallas kernel in interpreter mode on CPU."""
+    from krylov_tpu.ops.pallas_stencil import stencil2d_matvec
+    import jax
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    A = stencil.poisson_2d(16, 8, dtype=np.float32)
+    M, ny = 16, 8
+    c2 = A.coeffs.reshape(5, M, ny)
+    rng = np.random.default_rng(4)
+    x2 = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    want = (A @ x2.reshape(-1)).reshape(M, ny)
+
+    with jax.disable_jit():
+        import krylov_tpu.ops.pallas_stencil as ps
+        import functools
+        from jax.experimental import pallas as pl
+
+        # call pallas_call with interpret=True through a small shim
+        got = pl.pallas_call(
+            functools.partial(
+                ps._kernel,
+                row_offsets=A.row_offsets,
+                col_offsets=A.col_offsets,
+                h=1,
+                tm=8,
+            ),
+            grid=(2,),
+            in_specs=[
+                pl.BlockSpec((5, 8, ny), lambda i: (0, i, 0)),
+                pl.BlockSpec((8, ny), lambda i: (i, 0)),
+                pl.BlockSpec((1, 1, ny), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 1, ny), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((8, ny), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            interpret=True,
+        )(
+            c2,
+            x2,
+            jnp.concatenate(
+                [jnp.zeros((1, 1, ny), jnp.float32),
+                 x2.reshape(2, 8, ny)[:-1, -1:]], axis=0),
+            jnp.concatenate(
+                [x2.reshape(2, 8, ny)[1:, :1],
+                 jnp.zeros((1, 1, ny), jnp.float32)], axis=0),
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )
