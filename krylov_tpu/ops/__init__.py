@@ -1,18 +1,24 @@
 from .sparse import CSROperator, DiaOperator
 from .stencil import (
     BandedOperator,
+    ConstStencilOperator,
     GridStencilOperator,
     poisson_1d,
     poisson_2d,
+    poisson_2d_const,
     poisson_3d,
+    poisson_3d_const,
 )
 
 __all__ = [
     "CSROperator",
     "DiaOperator",
     "BandedOperator",
+    "ConstStencilOperator",
     "GridStencilOperator",
     "poisson_1d",
     "poisson_2d",
+    "poisson_2d_const",
     "poisson_3d",
+    "poisson_3d_const",
 ]

@@ -129,3 +129,97 @@ def supports(dtype, M, ny, row_offsets):
         and h <= M // 2
         and jnp.dtype(dtype) in (jnp.float32, jnp.bfloat16)
     )
+
+
+# ---------------------------------------------------------------------------
+# Constant-coefficient stencils
+# ---------------------------------------------------------------------------
+#
+# For constant-coefficient operators (the Poisson/Laplacian benchmark family)
+# the coefficient planes carry no information except the Dirichlet boundary
+# masks, yet they are (ndiag)/(ndiag+2) of all HBM traffic.  This variant
+# replaces them with scalar weights + in-kernel boundary masks computed from
+# iota: traffic drops to ~2N words (x read + y write), a further ~3x over the
+# variable-coefficient kernel.
+#
+# Each band is (dr, dc, weight, row_constraints) where row_constraints is a
+# tuple of (stride, size, step) triples: the band is valid on global row i
+# iff for every triple 0 <= (i // stride) % size + step < size (the n-D grid
+# coordinate along each collapsed axis stays in range).  The column
+# constraint 0 <= j + dc < ny is applied on the lane dimension.
+
+
+def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny):
+    xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
+    gi0 = pl.program_id(0) * tm
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + gi0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, ny), 1)
+    acc = None
+    for dr, dc, w, row_constraints in bands:
+        seg = xw[h + dr : h + dr + tm]
+        if dc:
+            seg = pltpu.roll(seg, (-dc) % ny, axis=1)
+        mask = None
+        for stride, size, step in row_constraints:
+            c = jax.lax.rem(jax.lax.div(rows, stride), size)
+            m = (c + step >= 0) & (c + step < size)
+            mask = m if mask is None else mask & m
+        if dc:
+            mc = (cols + dc >= 0) & (cols + dc < ny)
+            mask = mc if mask is None else mask & mc
+        term = w * seg if mask is None else jnp.where(mask, w * seg, 0)
+        acc = term if acc is None else acc + term
+    y_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("bands", "block_rows"))
+def const_stencil2d_matvec(x, bands, block_rows=None):
+    """Constant-coefficient stencil matvec on the collapsed (M, ny) grid.
+
+    ``bands``: static tuple of (dr, dc, weight, row_constraints) — see the
+    comment above.  Only x and y touch HBM.
+    """
+    M, ny = x.shape
+    row_offsets = tuple(b[0] for b in bands)
+    h = max((max(0, -min(row_offsets)), max(0, max(row_offsets))))
+
+    if block_rows is None:
+        budget = 12 * 1024 * 1024 // 2
+        per_row = 2 * ny * x.dtype.itemsize
+        block_rows = max(8, min(1024, budget // per_row))
+    cap = min(block_rows, M)
+    tm = next(
+        (t for t in range(cap, 7, -1) if M % t == 0 and t % 8 == 0 and t >= h),
+        None,
+    )
+    if tm is None:
+        tm = M
+    nb = M // tm
+
+    if h > 0:
+        xr = x.reshape(nb, tm, ny)
+        zero = jnp.zeros((1, h, ny), x.dtype)
+        tops = jnp.concatenate([zero, xr[:-1, tm - h :]], axis=0)
+        bots = jnp.concatenate([xr[1:, :h], zero], axis=0)
+    else:
+        tops = jnp.zeros((nb, 0, ny), x.dtype)
+        bots = jnp.zeros((nb, 0, ny), x.dtype)
+
+    kern = functools.partial(_const_kernel, bands=bands, h=h, tm=tm, ny=ny)
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, ny), x.dtype),
+    )(x, tops, bots)

@@ -295,3 +295,215 @@ def poisson_3d(nx, ny=None, nz=None, dtype=np.float64):
     nz = nx if nz is None else nz
     coeffs, offsets = _laplacian_coeffs((nx, ny, nz), np.dtype(dtype))
     return GridStencilOperator(jnp.asarray(coeffs), offsets, nz, hermitian=True)
+
+
+@register_pytree_node_class
+class ConstStencilOperator:
+    """Constant-coefficient n-D stencil with Dirichlet boundaries.
+
+    The TPU speed-of-light format for the Poisson/Laplacian benchmark family:
+    the operator carries only static scalar weights — no coefficient arrays —
+    so a matvec's HBM traffic is just x-read + y-write (~2N words,
+    ~3x less than the variable-coefficient banded kernel, ~(ndiag+2)/2 x less
+    than CSR).  Boundary (Dirichlet) masking is computed in-kernel from
+    element indices (:func:`krylov_tpu.ops.pallas_stencil.const_stencil2d_matvec`);
+    off-TPU a roll+mask XLA formulation is used.
+
+    ``shape_nd`` is the n-D grid shape (n >= 2); ``offsets_nd`` is a tuple of
+    n-D integer offset vectors, ``weights`` the matching static scalars.  The
+    grid collapses to ``(M, ny) = (prod(shape[:-1]), shape[-1])``; vectors
+    may be flat ``(N,)`` or grid-shaped ``(M, ny)`` (the fast path, avoiding
+    TPU relayout copies).
+    """
+
+    def __init__(self, shape_nd, offsets_nd, weights, dtype=np.float64):
+        self.shape_nd = tuple(int(s) for s in shape_nd)
+        if len(self.shape_nd) < 2:
+            raise ValueError("use BandedOperator for 1-D stencils")
+        self.offsets_nd = tuple(tuple(int(o) for o in off) for off in offsets_nd)
+        self.weights = tuple(float(w) for w in weights)
+        self.dtype = np.dtype(dtype)
+
+        self.ny = self.shape_nd[-1]
+        M = 1
+        for s in self.shape_nd[:-1]:
+            M *= s
+        self._M = M
+
+        # collapse: row strides (in rows) for each leading axis
+        row_axes = self.shape_nd[:-1]
+        strides = []
+        for k in range(len(row_axes)):
+            st = 1
+            for s in row_axes[k + 1 :]:
+                st *= s
+            strides.append(st)
+
+        bands = []
+        for off, w in zip(self.offsets_nd, self.weights):
+            if len(off) != len(self.shape_nd):
+                raise ValueError(f"offset {off} rank != grid rank")
+            dc = off[-1]
+            dr = sum(o * st for o, st in zip(off[:-1], strides))
+            if abs(dc) >= self.ny:
+                raise ValueError(f"offset {off}: |last-dim step| must be < ny")
+            constraints = tuple(
+                (st, n, o)
+                for o, st, n in zip(off[:-1], strides, row_axes)
+                if o != 0
+            )
+            bands.append((dr, dc, w, constraints))
+        self.bands = tuple(bands)
+        self.hermitian = set(
+            (tuple(-o for o in off), w) for off, w in zip(self.offsets_nd, self.weights)
+        ) == set(zip(self.offsets_nd, self.weights))
+
+    @property
+    def shape(self):
+        n = self._M * self.ny
+        return (n, n)
+
+    @property
+    def grid(self):
+        return (self._M, self.ny)
+
+    vector_shape = grid
+
+    @property
+    def nnz(self):
+        # valid positions per band = prod over axes of (n_k - |off_k|)
+        total = 0
+        for off in self.offsets_nd:
+            cnt = 1
+            for o, n in zip(off, self.shape_nd):
+                cnt *= max(0, n - abs(o))
+            total += cnt
+        return total
+
+    def _masks_2d(self, dtype):
+        """(per-band) boolean masks on the (M, ny) grid — XLA fallback."""
+        M, ny = self.grid
+        rows = jnp.arange(M, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(ny, dtype=jnp.int32)[None, :]
+        masks = []
+        for dr, dc, w, constraints in self.bands:
+            m = None
+            for stride, size, step in constraints:
+                c = (rows // stride) % size
+                mm = (c + step >= 0) & (c + step < size)
+                m = mm if m is None else m & mm
+            if dc:
+                mc = (cols + dc >= 0) & (cols + dc < ny)
+                m = mc if m is None else m & mc
+            masks.append(m)
+        return masks
+
+    def _apply_grid(self, x2):
+        from . import pallas_stencil
+
+        M, ny = self.grid
+        row_offsets = tuple(b[0] for b in self.bands)
+        if pallas_stencil.supports(x2.dtype, M, ny, row_offsets):
+            return pallas_stencil.const_stencil2d_matvec(x2, self.bands)
+        # XLA fallback: roll (wrap) + boundary mask per band
+        y = None
+        masks = self._masks_2d(x2.dtype)
+        for (dr, dc, w, _), m in zip(self.bands, masks):
+            seg = jnp.roll(x2, (-dr, -dc), axis=(0, 1))
+            term = w * seg
+            if m is not None:
+                term = jnp.where(m, term, 0)
+            y = term if y is None else y + term
+        return y
+
+    def __matmul__(self, x):
+        M, ny = self.grid
+        if x.ndim == 2 and x.shape == (M, ny):
+            return self._apply_grid(x)
+        if x.ndim != 1:
+            # multi-RHS (N, k): vmap the grid path over columns
+            cols = [self._apply_grid(x[:, k].reshape(M, ny)).reshape(-1)
+                    for k in range(x.shape[1])]
+            return jnp.stack(cols, axis=1)
+        return self._apply_grid(x.reshape(M, ny)).reshape(x.shape)
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        if self.hermitian:
+            return self @ x
+        adj = ConstStencilOperator(
+            self.shape_nd,
+            tuple(tuple(-o for o in off) for off in self.offsets_nd),
+            tuple(np.conj(w) for w in self.weights),
+            dtype=self.dtype,
+        )
+        return adj @ x
+
+    def diagonal(self):
+        w0 = 0.0
+        for off, w in zip(self.offsets_nd, self.weights):
+            if all(o == 0 for o in off):
+                w0 += w
+        return jnp.full(self.shape[0], w0, self.dtype)
+
+    def tocsr(self):
+        import scipy.sparse
+
+        from .sparse import CSROperator
+
+        nd = self.shape_nd
+        N = self._M * self.ny
+        idx = np.arange(N)
+        coords = np.stack(np.unravel_index(idx, nd), axis=0)
+        rows, cols, vals = [], [], []
+        strides = [int(np.prod(nd[k + 1 :])) for k in range(len(nd))]
+        for off, w in zip(self.offsets_nd, self.weights):
+            valid = np.ones(N, dtype=bool)
+            for k, o in enumerate(off):
+                valid &= (coords[k] + o >= 0) & (coords[k] + o < nd[k])
+            j = idx + sum(o * s for o, s in zip(off, strides))
+            rows.append(idx[valid])
+            cols.append(j[valid])
+            vals.append(np.full(valid.sum(), w))
+        sp = scipy.sparse.csr_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(N, N),
+        )
+        return CSROperator.from_scipy(sp)
+
+    def tree_flatten(self):
+        return (), (self.shape_nd, self.offsets_nd, self.weights, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape_nd, offsets_nd, weights, dtype = aux
+        return cls(shape_nd, offsets_nd, weights, dtype=dtype)
+
+
+def _laplace_offsets(nd):
+    offs = [tuple([0] * nd)]
+    ws = [2.0 * nd]
+    for k in range(nd):
+        for s in (+1, -1):
+            o = [0] * nd
+            o[k] = s
+            offs.append(tuple(o))
+            ws.append(-1.0)
+    return tuple(offs), tuple(ws)
+
+
+def poisson_2d_const(nx, ny=None, dtype=np.float32):
+    """5-point 2-D Laplacian as a constant-coefficient stencil (no
+    coefficient arrays; speed-of-light TPU format)."""
+    ny = nx if ny is None else ny
+    offs, ws = _laplace_offsets(2)
+    return ConstStencilOperator((nx, ny), offs, ws, dtype=dtype)
+
+
+def poisson_3d_const(nx, ny=None, nz=None, dtype=np.float32):
+    """7-point 3-D Laplacian as a constant-coefficient stencil."""
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    offs, ws = _laplace_offsets(3)
+    return ConstStencilOperator((nx, ny, nz), offs, ws, dtype=dtype)

@@ -58,9 +58,16 @@ def gmres(
     tol: float = 1e-5,
     atol: float = 1.0e-15,
     maxiter: Optional[int] = None,
+    restart: Optional[int] = None,
     callback: Optional[Callable] = None,
     backend: str = EAGER,
 ):
+    if restart is not None:
+        return _gmres_restarted(
+            A, b, M=M, Ml=Ml, Mr=Mr, inner=inner, ortho=ortho, x0=x0,
+            tol=tol, atol=atol, maxiter=maxiter, restart=restart,
+            callback=callback, backend=backend,
+        )
     inner_is_none = inner is None
     A, b, x0, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)
     M = preconditioner(M)
@@ -96,6 +103,60 @@ def gmres(
         return _gmres_while(num_reorthos=num_reorthos, **common)
 
     return _gmres_eager(ortho=ortho, inner_is_none=inner_is_none, **common)
+
+
+def _gmres_restarted(
+    A, b, *, M, Ml, Mr, inner, ortho, x0, tol, atol, maxiter, restart,
+    callback, backend,
+):
+    """GMRES(m): restart every ``restart`` iterations.
+
+    A build-side extension (the reference has no restarts — SURVEY.md §7):
+    full GMRES stores the whole O(maxiter * N) basis, which is infeasible at
+    benchmark scale; GMRES(m) caps memory at O(m * N).  Convergence is judged
+    against the criterion of the *initial* residual (``max(tol * resnorm0,
+    atol)`` once, like every other solver), not per-cycle, so trajectories
+    concatenate consistently.  Each cycle is one compiled solve; the restart
+    loop runs on host (restart count is data-dependent and small).
+    """
+    import jax.numpy as _jnp
+
+    b_arr = _jnp.asarray(b)
+    N = b_arr.shape[0]
+    total_max = N if maxiter is None else maxiter
+    m = min(restart, total_max)
+
+    x = x0
+    resnorms = None
+    criterion = None
+    numsteps = 0
+    success = False
+    while True:
+        cycle_max = min(m, total_max - numsteps)
+        kw = dict(
+            M=M, Ml=Ml, Mr=Mr, inner=inner, ortho=ortho, x0=x,
+            maxiter=cycle_max, callback=callback, backend=backend,
+        )
+        if criterion is None:
+            sol, info = gmres(A, b, tol=tol, atol=atol, **kw)
+            criterion = max(
+                tol * float(np.max(info.resnorms[0])), atol
+            )
+            resnorms = np.asarray(info.resnorms)
+        else:
+            sol, info = gmres(A, b, tol=0.0, atol=criterion, **kw)
+            # entry 0 re-measures the explicit residual of the restart
+            # iterate; keep it (it may differ from the previous recurrence
+            # value — that is the honest trajectory)
+            resnorms = np.concatenate([resnorms, np.asarray(info.resnorms)[1:]])
+        numsteps += info.numsteps
+        x = info.xk
+        success = bool(info.success)
+        if success or numsteps >= total_max or info.numsteps == 0:
+            break
+
+    info = Info(success, x, numsteps, resnorms, _num_operations(numsteps))
+    return (x if success else None), info
 
 
 class _EagerState(NamedTuple):

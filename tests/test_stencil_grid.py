@@ -123,3 +123,89 @@ def test_pallas_kernel_interpret_mode():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# ConstStencilOperator (constant-coefficient, in-kernel boundary masks)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "make_const,make_var,n",
+    [
+        (
+            lambda: stencil.poisson_2d_const(8, 16, dtype=np.float64),
+            lambda: stencil.poisson_2d(8, 16),
+            128,
+        ),
+        (
+            lambda: stencil.poisson_3d_const(4, 5, 8, dtype=np.float64),
+            lambda: stencil.poisson_3d(4, 5, 8),
+            160,
+        ),
+    ],
+)
+def test_const_stencil_matches_variable(make_const, make_var, n):
+    A, Av = make_const(), make_var()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(A @ x), np.asarray(Av @ x), atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(A @ x), np.asarray(A.tocsr() @ x), atol=1e-13
+    )
+
+
+def test_const_stencil_structural_nnz():
+    A = stencil.poisson_2d_const(8, 16)
+    # N + 2*(8*15) + 2*(7*16) interior couplings
+    assert A.nnz == 128 + 2 * 8 * 15 + 2 * 7 * 16
+
+
+def test_const_stencil_grid_vectors_and_rmatvec():
+    A = stencil.poisson_2d_const(8, 16, dtype=np.float64)
+    rng = np.random.default_rng(1)
+    xg = jnp.asarray(rng.standard_normal((8, 16)))
+    flat = (A @ xg.reshape(-1)).reshape(8, 16)
+    np.testing.assert_allclose(np.asarray(A @ xg), np.asarray(flat), atol=1e-14)
+    assert A.hermitian
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(xg)), np.asarray(A @ xg), atol=1e-14
+    )
+
+
+def test_const_stencil_nonsymmetric_rmatvec():
+    # convection-like: asymmetric weights
+    A = stencil.ConstStencilOperator(
+        (6, 8),
+        ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)),
+        (4.0, -1.5, -0.5, -2.0, -0.25),
+        dtype=np.float64,
+    )
+    assert not A.hermitian
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(48))
+    dense = np.asarray(A.tocsr().todense())
+    np.testing.assert_allclose(np.asarray(A @ x), dense @ np.asarray(x), atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(x)), dense.T @ np.asarray(x), atol=1e-13
+    )
+
+
+def test_cg_on_const_stencil():
+    A = stencil.poisson_2d_const(8, 16, dtype=np.float64)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(128))
+    sol, info = krylov_tpu.cg(A, b, tol=1e-12, maxiter=400)
+    assert info.success
+    r = np.asarray(b) - np.asarray(A @ sol)
+    assert np.linalg.norm(r) <= 1e-10 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_const_stencil_multi_rhs():
+    A = stencil.poisson_2d_const(8, 8, dtype=np.float64)
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.standard_normal((64, 3)))
+    want = np.stack([np.asarray(A @ X[:, k]) for k in range(3)], axis=1)
+    np.testing.assert_allclose(np.asarray(A @ X), want, atol=1e-13)

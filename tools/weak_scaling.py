@@ -1,0 +1,80 @@
+"""Weak-scaling harness: nnz/s for sharded CG on 2-D Poisson.
+
+Per BASELINE.md: weak-scaling efficiency (nnz/s per chip vs 1-chip) measured
+at 1 chip / 1 host / N hosts, target >= 75% at 2+ hosts.  Run on every host
+of the job::
+
+    python tools/weak_scaling.py --rows-per-device 4194304 --iters 50
+
+Prints one JSON line on process 0.  Problem size scales with the device
+count (weak scaling): each device owns ``rows_per_device`` rows of the grid.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows-per-device", type=int, default=1 << 22)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--ny", type=int, default=4096)
+    p.add_argument("--multihost", action="store_true")
+    args = p.parse_args()
+
+    if args.multihost:
+        from krylov_tpu.parallel import multihost
+
+        multihost.initialize()
+
+    import jax
+    import jax.numpy as jnp
+
+    import krylov_tpu
+    from krylov_tpu import parallel
+    from krylov_tpu.ops import stencil
+
+    n_dev = jax.device_count()
+    ny = args.ny
+    rows_per_dev = args.rows_per_device // ny * ny  # multiple of ny
+    nx = (rows_per_dev * n_dev) // ny
+    N = nx * ny
+
+    A = stencil.poisson_2d(nx, ny, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    mesh = parallel.make_mesh()
+
+    def solve():
+        return parallel.sharded_solve(
+            krylov_tpu.cg, A, b, mesh=mesh, tol=0.0, atol=0.0,
+            maxiter=args.iters,
+        )
+
+    sol, info = solve()  # compile + warm
+    t0 = time.perf_counter()
+    sol, info = solve()
+    dt = time.perf_counter() - t0
+
+    nnz = int(A.nnz)
+    per_iter = dt / args.iters
+    out = {
+        "metric": "weak_scaling_cg",
+        "devices": n_dev,
+        "processes": jax.process_count(),
+        "n_rows": N,
+        "nnz": nnz,
+        "iters": args.iters,
+        "s_per_iter": round(per_iter, 6),
+        "nnz_per_s": round(nnz / per_iter, 1),
+        "nnz_per_s_per_device": round(nnz / per_iter / n_dev, 1),
+    }
+    if jax.process_index() == 0:
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
