@@ -121,6 +121,10 @@ class ArnoldiMGS:
         inner=None,
     ):
         self.inner = get_default_inner(v.shape) if inner is None else inner
+        # per-RHS scalar shape derived from the inner product, not v.shape[1:]
+        # (full-contraction inners for grid-shaped vectors give tail == ());
+        # evaluated concretely: user inners may be numpy-based (untraceable)
+        self.tail = tuple(jnp.shape(self.inner(v, v)))
         self.A = A
         self.v = jnp.asarray(v)
         self.num_reorthos = num_reorthos
@@ -160,7 +164,7 @@ class ArnoldiMGS:
         k = self.iter
         Av = jnp.asarray(self.A @ self.V[k])
 
-        h = jnp.zeros([k + 2] + list(self.v.shape[1:]), dtype=self.dtype)
+        h = jnp.zeros([k + 2] + list(self.tail), dtype=self.dtype)
         for _ in range(self.num_reorthos):
             Av, h = self._mgs_pass(k, Av, h)
 
@@ -190,12 +194,16 @@ class ArnoldiLanczos:
         self.A = A
         self.M = Identity() if M is None else as_operator(M)
         self.inner = get_default_inner(v.shape) if inner is None else inner
+        # per-RHS scalar shape derived from the inner product, not v.shape[1:]
+        # (full-contraction inners for grid-shaped vectors give tail == ());
+        # evaluated concretely: user inners may be numpy-based (untraceable)
+        self.tail = tuple(jnp.shape(self.inner(v, v)))
         v = jnp.asarray(v)
         self.dtype = _common_dtype(A, self.M, v)
 
         self.num_iter = 0
         # the three tridiagonal entries of the current Hessenberg column
-        self.h = jnp.zeros([3] + list(v.shape[1:]), dtype=self.dtype)
+        self.h = jnp.zeros([3] + list(self.tail), dtype=self.dtype)
         self.is_invariant = False
 
         p = v

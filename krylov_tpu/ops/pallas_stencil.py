@@ -53,12 +53,20 @@ def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets, col_offsets, 
 @functools.partial(
     jax.jit, static_argnames=("row_offsets", "col_offsets", "block_rows")
 )
-def stencil2d_matvec(coeffs, x, row_offsets, col_offsets, block_rows=None):
+def stencil2d_matvec(
+    coeffs, x, row_offsets, col_offsets, block_rows=None,
+    top_halo=None, bot_halo=None,
+):
     """``y[i,j] = sum_d coeffs[d,i,j] * x[i+row_offsets[d], j+col_offsets[d]]``.
 
     ``coeffs``: (ndiag, M, ny); ``x``: (M, ny).  Out-of-range row reads are
     zero; column reads wrap — callers must zero the wrap coefficients (the
     Poisson/stencil constructors do).
+
+    ``top_halo``/``bot_halo`` (optional, ``(h, ny)``): rows logically at
+    ``x[-h:0]`` / ``x[M:M+h]`` — used by the row-partitioned distributed
+    operator to splice in neighbor shards' boundary rows so the same kernel
+    computes a shard-local matvec (zeros when omitted).
     """
     ndiag, M, ny = coeffs.shape
     h = max((max(0, -min(row_offsets)), max(0, max(row_offsets))))
@@ -79,13 +87,22 @@ def stencil2d_matvec(coeffs, x, row_offsets, col_offsets, block_rows=None):
     nb = M // tm
 
     # halo planes: top[k] = x[k*tm - h : k*tm], bottom[k] = x[(k+1)*tm : +h]
-    # (zeros outside the domain); built from strided slices — reads only
-    # 2*h*nb*ny elements of x, no full extra pass
+    # (zeros — or caller-provided shard halos — outside the array); built
+    # from strided slices: reads only 2*h*nb*ny elements of x
     if h > 0:
         xr = x.reshape(nb, tm, ny)
-        zero = jnp.zeros((1, h, ny), x.dtype)
-        tops = jnp.concatenate([zero, xr[:-1, tm - h :]], axis=0)
-        bots = jnp.concatenate([xr[1:, :h], zero], axis=0)
+        top0 = (
+            jnp.zeros((1, h, ny), x.dtype)
+            if top_halo is None
+            else top_halo.astype(x.dtype)[None]
+        )
+        botN = (
+            jnp.zeros((1, h, ny), x.dtype)
+            if bot_halo is None
+            else bot_halo.astype(x.dtype)[None]
+        )
+        tops = jnp.concatenate([top0, xr[:-1, tm - h :]], axis=0)
+        bots = jnp.concatenate([xr[1:, :h], botN], axis=0)
     else:
         tops = jnp.zeros((nb, 0, ny), x.dtype)
         bots = jnp.zeros((nb, 0, ny), x.dtype)

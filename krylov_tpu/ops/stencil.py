@@ -12,6 +12,7 @@ CSR matvecs (SURVEY.md §2.2): keep CSR for general sparsity, use banded
 storage where the structure allows.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.tree_util import register_pytree_node_class
@@ -188,15 +189,34 @@ class GridStencilOperator(BandedOperator):
     # solvers accept grid-shaped vectors for this operator (solvers/_common.py)
     vector_shape = grid
 
-    def _matvec_2d(self, c2, x2):
-        """Padded-shift XLA formulation on the (M, ny) grid view."""
+    def _matvec_2d(self, c2, x2, top_halo=None, bot_halo=None):
+        """Padded-shift XLA formulation on the (M, ny) grid view.
+
+        Optional ``top_halo``/``bot_halo`` ``(h, ny)`` splice in neighbor
+        rows for the row-partitioned distributed operator (zeros otherwise).
+        """
+        M = x2.shape[0]
+        h = max(
+            (max(0, -min(self.row_offsets)), max(0, max(self.row_offsets)), 1)
+        )
+        if top_halo is not None:
+            assert top_halo.shape[0] == h, (top_halo.shape, h)
+        if bot_halo is not None:
+            assert bot_halo.shape[0] == h, (bot_halo.shape, h)
+        top = (
+            jnp.zeros((h,) + x2.shape[1:], x2.dtype)
+            if top_halo is None
+            else top_halo.astype(x2.dtype)
+        )
+        bot = (
+            jnp.zeros((h,) + x2.shape[1:], x2.dtype)
+            if bot_halo is None
+            else bot_halo.astype(x2.dtype)
+        )
+        x_ext = jnp.concatenate([top, x2, bot], axis=0)
         y = None
         for d, (dr, dc) in enumerate(zip(self.row_offsets, self.col_offsets)):
-            seg = x2
-            if dr > 0:
-                seg = jnp.pad(seg[dr:], ((0, dr), (0, 0)))
-            elif dr < 0:
-                seg = jnp.pad(seg[:dr], ((-dr, 0), (0, 0)))
+            seg = jax.lax.slice_in_dim(x_ext, h + dr, h + dr + M, axis=0)
             if dc > 0:
                 seg = jnp.pad(seg[:, dc:], ((0, 0), (0, dc)))
             elif dc < 0:
@@ -205,15 +225,24 @@ class GridStencilOperator(BandedOperator):
             y = term if y is None else y + term
         return y
 
-    def _apply_grid(self, x2):
+    def _apply_grid(self, x2, top_halo=None, bot_halo=None):
         from . import pallas_stencil
 
         M, ny = self.grid
         if pallas_stencil.supports(x2.dtype, M, ny, self.row_offsets):
-            return pallas_stencil.stencil2d_matvec(
-                self.coeffs2d, x2, self.row_offsets, self.col_offsets
+            h = max(
+                (max(0, -min(self.row_offsets)), max(0, max(self.row_offsets)))
             )
-        return self._matvec_2d(self.coeffs2d, x2)
+            # callers pass exactly (h_caller, ny) halos with h_caller >= h
+            trim_t = None if top_halo is None or h == 0 else top_halo[-h:]
+            trim_b = None if bot_halo is None or h == 0 else bot_halo[:h]
+            return pallas_stencil.stencil2d_matvec(
+                self.coeffs2d, x2, self.row_offsets, self.col_offsets,
+                top_halo=trim_t, bot_halo=trim_b,
+            )
+        return self._matvec_2d(
+            self.coeffs2d, x2, top_halo=top_halo, bot_halo=bot_halo
+        )
 
     def __matmul__(self, x):
         M, ny = self.grid

@@ -12,8 +12,10 @@ a single-process NumPy program — SURVEY.md §2.3):
 * :func:`sharded_solve` — run any solver as one compiled SPMD program.
 """
 
+from . import multihost
 from .banded import ShardedBandedOperator
 from .csr import ShardedCSROperator, partition_csr
+from .grid import ShardedGridStencilOperator
 from .mesh import RHS, ROWS, make_mesh, psum_inner
 from .solve import sharded_solve
 
@@ -24,6 +26,8 @@ __all__ = [
     "RHS",
     "ShardedBandedOperator",
     "ShardedCSROperator",
+    "ShardedGridStencilOperator",
     "partition_csr",
     "sharded_solve",
+    "multihost",
 ]

@@ -1,0 +1,119 @@
+"""Row-partitioned grid-stencil operator: the fast distributed SpMV path.
+
+:class:`~krylov_tpu.parallel.banded.ShardedBandedOperator` is the generic
+row-slab operator, but its local matvec uses flat shifted slices — the slow
+layout on TPU (SURVEY-measured ~12% of roofline).  For operators that factor
+over a grid (:class:`~krylov_tpu.ops.stencil.GridStencilOperator`) this
+operator keeps everything in the 2-D ``(M_local, ny)`` device layout: the
+shard exchanges ``h = max|row_offset|`` *grid rows* with its mesh neighbors
+via two ``lax.ppermute``s over ICI, then runs the exact same single-chip
+Pallas stencil kernel with the neighbor rows spliced in as halo planes
+(kernel: :func:`krylov_tpu.ops.pallas_stencil.stencil2d_matvec`,
+``top_halo``/``bot_halo``).  Per iteration, the only cross-device traffic is
+``2 * h * ny`` elements each way plus the solver's psum scalars.
+
+Vectors are grid-shaped ``(M_local, ny)`` locally; use a full-contraction
+psum inner product (see :func:`krylov_tpu.parallel.solve.sharded_solve`,
+which wires this automatically for GridStencilOperator inputs).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+from jax.tree_util import register_pytree_node_class
+
+from ..ops.stencil import GridStencilOperator
+from .banded import _identity_perm_shift
+from .mesh import ROWS
+
+
+@register_pytree_node_class
+class ShardedGridStencilOperator:
+    """Local grid-row slab of a :class:`GridStencilOperator` (inside shard_map).
+
+    ``coeffs2d``: local ``(ndiag, M_local, ny)`` block — a plain slice of the
+    global coefficient array along the grid-row axis.
+    """
+
+    def __init__(self, coeffs2d, offsets, ny, axis=ROWS, hermitian=False):
+        self._local = GridStencilOperator(
+            coeffs2d, offsets, ny, hermitian=hermitian
+        )
+        self.axis = axis
+
+    @property
+    def coeffs2d(self):
+        return self._local.coeffs2d
+
+    @property
+    def offsets(self):
+        return self._local.offsets
+
+    @property
+    def ny(self):
+        return self._local.ny
+
+    @property
+    def hermitian(self):
+        return self._local.hermitian
+
+    @property
+    def dtype(self):
+        return self.coeffs2d.dtype
+
+    @property
+    def grid(self):
+        return self._local.grid
+
+    vector_shape = grid
+
+    @property
+    def shape(self):
+        n_local = self.grid[0] * self.grid[1]
+        return (n_local, n_local)
+
+    @property
+    def halo_rows(self):
+        ro = self._local.row_offsets
+        return max((max(0, -min(ro)), max(0, max(ro)), 1))
+
+    def exchange_halo(self, x2):
+        """Fetch ``h`` grid rows from each mesh neighbor (zeros at edges)."""
+        h = self.halo_rows
+        if h > x2.shape[0]:
+            raise ValueError(
+                f"halo {h} grid rows exceeds local rows {x2.shape[0]}"
+            )
+        n_ax = lax.axis_size(self.axis)
+        top = lax.ppermute(x2[-h:], self.axis, _identity_perm_shift(n_ax, +1))
+        bot = lax.ppermute(x2[:h], self.axis, _identity_perm_shift(n_ax, -1))
+        return top, bot
+
+    def __matmul__(self, x2):
+        top, bot = self.exchange_halo(x2)
+        return self._local._apply_grid(x2, top_halo=top, bot_halo=bot)
+
+    matvec = __matmul__
+
+    def rmatvec(self, x2):
+        if self.hermitian:
+            return self @ x2
+        raise NotImplementedError(
+            "sharded grid-stencil adjoint matvec: only hermitian operators "
+            "are supported (CG/MINRES/GMRES need no rmatvec)"
+        )
+
+    def diagonal(self):
+        return self._local.diagonal()
+
+    def tree_flatten(self):
+        return (self.coeffs2d,), (
+            self.offsets,
+            self.ny,
+            self.axis,
+            self.hermitian,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        offsets, ny, axis, hermitian = aux
+        return cls(children[0], offsets, ny, axis=axis, hermitian=hermitian)

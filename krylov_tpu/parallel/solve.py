@@ -22,9 +22,10 @@ from jax.sharding import PartitionSpec as P
 
 from .._info import Info
 from ..ops.sparse import CSROperator
-from ..ops.stencil import BandedOperator
+from ..ops.stencil import BandedOperator, GridStencilOperator
 from .banded import ShardedBandedOperator
 from .csr import ShardedCSROperator, partition_csr
+from .grid import ShardedGridStencilOperator
 from .mesh import ROWS, RHS, make_mesh, psum_inner
 
 
@@ -60,6 +61,19 @@ def sharded_solve(
     n_rows = mesh.shape[ROWS]
 
     b = jnp.asarray(b)
+
+    # grid-stencil fast path: 2-D layout end-to-end, Pallas kernel locally,
+    # halo exchange in grid rows (single RHS; multi-RHS uses the flat path)
+    if (
+        isinstance(A, GridStencilOperator)
+        and not shard_rhs
+        and (b.ndim == 1 or b.shape == A.grid)
+    ):
+        return _sharded_solve_grid(
+            solver, A, b, mesh=mesh, x0=x0, tol=tol, atol=atol,
+            maxiter=maxiter, **solver_kwargs,
+        )
+
     N = b.shape[0]
     if N % n_rows:
         raise ValueError(f"N={N} not divisible by rows-axis size {n_rows}")
@@ -132,6 +146,64 @@ def sharded_solve(
     numsteps = int(np.max(np.asarray(numsteps)))
     success = bool(np.all(np.asarray(success)))
     resnorms = np.asarray(buf)[: numsteps + 1]
+    info = Info(success, xk, numsteps, resnorms, None, None)
+    return (xk if success else None), info
+
+
+def _sharded_solve_grid(
+    solver, A, b, *, mesh, x0, tol, atol, maxiter, **solver_kwargs
+):
+    """Row-partitioned solve in the grid (M, ny) layout — see parallel/grid.py."""
+    n_rows = mesh.shape[ROWS]
+    Mg, ny = A.grid
+    flat_in = b.ndim == 1
+    b2 = b.reshape(Mg, ny) if flat_in else b
+    if Mg % n_rows:
+        raise ValueError(f"grid rows {Mg} not divisible by mesh rows {n_rows}")
+    N = Mg * ny
+    if maxiter is None:
+        maxiter = N
+    x02 = (
+        jnp.zeros_like(b2)
+        if x0 is None
+        else jnp.asarray(x0).reshape(Mg, ny)
+    )
+
+    offsets, ny_, herm = A.offsets, A.ny, A.hermitian
+
+    def local_solve(b_l, x0_l, coeffs_l):
+        A_op = ShardedGridStencilOperator(
+            coeffs_l, offsets, ny_, axis=ROWS, hermitian=herm
+        )
+
+        def inner(u, v):
+            return lax.psum(jnp.sum(jnp.conj(u) * v), ROWS)
+
+        xk, info = solver(
+            A_op, b_l, inner=inner, x0=x0_l, tol=tol, atol=atol,
+            maxiter=maxiter, backend="while_loop", **solver_kwargs,
+        )
+        return (
+            xk,
+            jnp.reshape(info.success, (1,)),
+            jnp.reshape(jnp.asarray(info.numsteps), (1,)),
+            info.resnorms,
+        )
+
+    fn = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(ROWS, None), P(ROWS, None), P(None, ROWS, None)),
+        out_specs=(P(ROWS, None), P(), P(), P()),
+        check_vma=False,
+    )
+    xk, success, numsteps, buf = jax.jit(fn)(b2, x02, A.coeffs2d)
+
+    numsteps = int(np.max(np.asarray(numsteps)))
+    success = bool(np.all(np.asarray(success)))
+    resnorms = np.asarray(buf)[: numsteps + 1]
+    if flat_in:
+        xk = xk.reshape(-1)
     info = Info(success, xk, numsteps, resnorms, None, None)
     return (xk if success else None), info
 

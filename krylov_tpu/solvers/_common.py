@@ -37,3 +37,14 @@ def setup(A, b, x0=None, inner=None, maxiter=None):
 
 def preconditioner(M):
     return Identity() if M is None else as_operator(M)
+
+
+def inner_tail(inner, v):
+    """Shape of per-RHS scalars = shape of ``inner(v, v)``.
+
+    For the default inner this equals ``b.shape[1:]`` (multi-RHS blocking);
+    for full-contraction inners (grid-shaped vectors) it is ``()`` — deriving
+    it from the inner, not the RHS shape, keeps every solver's scalar
+    recurrences correct for operator-native vector spaces.
+    """
+    return tuple(jnp.shape(inner(v, v)))

@@ -17,7 +17,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import preconditioner, setup
+from ._common import inner_tail, preconditioner, setup
 
 
 class BicgstabState(NamedTuple):
@@ -61,7 +61,7 @@ def bicgstab(
 
     resnorm0 = _norm(r0)
     vdtype = r0.dtype
-    tail = b.shape[1:]
+    tail = inner_tail(inner, b)
     sdtype = jnp.result_type(vdtype)
 
     def scal(val):

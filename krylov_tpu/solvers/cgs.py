@@ -12,7 +12,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import preconditioner, setup
+from ._common import inner_tail, preconditioner, setup
 
 
 class CgsState(NamedTuple):
@@ -50,7 +50,7 @@ def cgs(
         callback(x_init, r0)
 
     vdtype = r0.dtype
-    tail = b.shape[1:]
+    tail = inner_tail(inner, b)
     sdtype = jnp.result_type(vdtype)
 
     state0 = CgsState(

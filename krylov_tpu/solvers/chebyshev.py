@@ -14,7 +14,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import preconditioner, setup
+from ._common import inner_tail, preconditioner, setup
 
 
 class ChebyshevState(NamedTuple):
@@ -57,7 +57,7 @@ def chebyshev(
     if callback is not None:
         callback(x_init, r0)
 
-    tail = b.shape[1:]
+    tail = inner_tail(inner, b)
     rdtype = jnp.result_type(r0.real.dtype if jnp.iscomplexobj(r0) else r0.dtype)
     state0 = ChebyshevState(
         k=jnp.asarray(0, jnp.int32),

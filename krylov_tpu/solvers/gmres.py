@@ -185,7 +185,7 @@ def _gmres_eager(
         raise ValueError(f"unknown orthogonalization {ortho!r}")
 
     dtype = M_Ml_r0.dtype
-    tail = b.shape[1:]
+    tail = jnp.shape(norm0)
     R0 = jnp.zeros((maxiter + 1, maxiter) + tail, dtype=dtype)
     y0 = jnp.zeros((maxiter + 1,) + tail, dtype=dtype).at[0].set(norm0)
     G = []  # rotation history (host list, eager only)
@@ -244,7 +244,7 @@ def _gmres_while(
     norm0, tol, atol, maxiter, callback, num_reorthos,
 ):
     K = maxiter
-    tail = b.shape[1:]
+    tail = jnp.shape(norm0)
     dtype = M_Ml_r0.dtype
 
     safe0 = jnp.where(norm0 != 0.0, norm0, 1.0)

@@ -22,7 +22,7 @@ from .._info import Info
 from .._inner import ensure_real
 from .._operators import Product
 from ..givens import apply_givens, givens
-from ._common import preconditioner, setup
+from ._common import inner_tail, preconditioner, setup
 
 
 class MinresState(NamedTuple):
@@ -64,7 +64,7 @@ def minres(
     Mr = preconditioner(Mr)
     Ml_A_Mr = Product(Ml, A, Mr)
 
-    tail = b.shape[1:]
+    tail = inner_tail(inner, b)
 
     def residual_norm(z):
         Ml_r = Ml @ (b - A @ z)

@@ -16,7 +16,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import preconditioner, setup
+from ._common import inner_tail, preconditioner, setup
 
 
 class QmrState(NamedTuple):
@@ -73,7 +73,7 @@ def qmr(
     xi0 = _norm(z)
 
     vdtype = jnp.result_type(y.dtype, z.dtype)
-    tail = b.shape[1:]
+    tail = inner_tail(inner, b)
     rdtype = rho0.dtype
     cdtype = jnp.result_type(vdtype)
 

@@ -26,7 +26,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import preconditioner, setup
+from ._common import inner_tail, preconditioner, setup
 
 
 class SymmlqState(NamedTuple):
@@ -87,7 +87,7 @@ def symmlq(
     u_init = z_init / safe_beta
 
     vdtype = u_init.dtype
-    tail = b.shape[1:]
+    tail = inner_tail(inner, b)
     sdtype = jnp.result_type(dp)
     zeros_v = jnp.zeros(b.shape, vdtype)
 

@@ -191,3 +191,56 @@ def test_sharded_solve_multi_rhs_over_rhs_axis():
     sol_ref, _ = krylov_tpu.cg(A, b, tol=1e-10, maxiter=200)
     np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
     assert info.resnorms.shape[1:] == (2,)
+
+
+def test_sharded_grid_stencil_matvec_matches_single_device():
+    A = stencil.poisson_2d(16, 16)  # grid (16, 16), N=256
+    rng = np.random.default_rng(10)
+    x2 = jnp.asarray(rng.standard_normal((16, 16)))
+    want = A @ x2  # single-device grid matvec
+
+    mesh = _mesh()
+    P = jax.sharding.PartitionSpec
+    fn = jax.shard_map(
+        lambda c, v: parallel.ShardedGridStencilOperator(
+            c, A.offsets, A.ny, hermitian=True
+        )
+        @ v,
+        mesh=mesh,
+        in_specs=(P(None, "rows", None), P("rows", None)),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )
+    got = fn(A.coeffs2d, x2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
+
+
+def test_sharded_solve_uses_grid_path_and_matches():
+    A = stencil.poisson_2d(16, 16)
+    rng = np.random.default_rng(11)
+    b = jnp.asarray(rng.standard_normal(256))
+
+    sol_ref, info_ref = krylov_tpu.cg(A, b, tol=1e-10, maxiter=300)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(), tol=1e-10, maxiter=300
+    )
+    assert info.success
+    assert sol.shape == (256,)  # flat in, flat out
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-8, atol=1e-12
+    )
+
+
+def test_sharded_solve_grid_shaped_rhs():
+    A = stencil.poisson_2d(16, 16)
+    rng = np.random.default_rng(12)
+    b2 = jnp.asarray(rng.standard_normal((16, 16)))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.gmres, A, b2, mesh=_mesh(), tol=1e-10, maxiter=120
+    )
+    assert info.success
+    assert sol.shape == (16, 16)  # grid in, grid out
+    r = np.asarray(b2) - np.asarray(A @ sol)
+    assert np.linalg.norm(r) <= 1e-9 * (1 + np.linalg.norm(np.asarray(b2)))
