@@ -1,3 +1,4 @@
+from .bsr import BSROperator
 from .sparse import CSROperator, DiaOperator
 from .stencil import (
     BandedOperator,
@@ -11,6 +12,7 @@ from .stencil import (
 )
 
 __all__ = [
+    "BSROperator",
     "CSROperator",
     "DiaOperator",
     "BandedOperator",

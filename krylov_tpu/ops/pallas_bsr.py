@@ -1,0 +1,95 @@
+"""Pallas TPU kernel: BSR block-sparse times dense multi-RHS (SpMM).
+
+The MXU path for sparse operators (SURVEY.md §2.2 maps the reference's BLAS
+GEMM / scipy CSR crossings to Pallas SpMV/SpMM kernels).  Multi-RHS solves
+(`b.shape == (N, k)`) on block-structured matrices spend their FLOPs in
+(R x C) @ (C x k) block products — systolic-array work, not VPU work.
+
+Format: ELL-padded BSR — every block-row holds exactly ``max_blocks``
+(R x C) blocks (zero blocks, pointing at block-column 0, pad short rows).
+The block-column index array is a scalar-prefetch operand, so each grid step
+DMAs exactly the x-slab its block needs (``x[col*C : (col+1)*C, :]``) —
+the canonical PrefetchScalarGridSpec gather pattern.  The output block-row
+is revisited across the inner grid dimension and accumulated in place.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(idx_ref, d_ref, x_ref, y_ref, *, max_blocks):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    # HIGHEST: f32 operands use the multi-pass bf16 decomposition on the MXU
+    # (~1e-6 relative error); default precision would round operands to bf16
+    y_ref[...] += jnp.dot(
+        d_ref[0],
+        x_ref[...],
+        preferred_element_type=y_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsr_spmm(data, cols, x, interpret=False):
+    """``y = A @ x`` for ELL-padded BSR.
+
+    data: (nbrows * max_blocks, R, C) blocks, row-major by block-row;
+    cols: (nbrows, max_blocks) int32 block-column of each block;
+    x: (nbcols * C, k) dense right-hand sides.
+    Returns (nbrows * R, k).
+    """
+    nbrows, max_blocks = cols.shape
+    _, R, C = data.shape
+    k = x.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbrows, max_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, R, C),
+                lambda i, j, idx: (i * max_blocks + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (C, k),
+                lambda i, j, idx: (idx[i, j], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (R, k), lambda i, j, idx: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, max_blocks=max_blocks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (nbrows * R, k), jnp.result_type(data, x)
+        ),
+        interpret=interpret,
+    )(cols, data, x)
+
+
+def supports(dtype, R, C, k):
+    """TPU backend with MXU-friendly shapes."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    return (
+        on_tpu
+        and R % 8 == 0
+        and C % 128 == 0
+        and k % 128 == 0
+        and jnp.dtype(dtype) in (jnp.float32, jnp.bfloat16)
+    )

@@ -1,0 +1,93 @@
+"""BSR operator: ELL-padded block-sparse SpMM (MXU kernel on TPU,
+gather+einsum contraction elsewhere)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+
+import krylov_tpu
+from krylov_tpu.ops.bsr import BSROperator
+
+
+def _random_bsr(nbrows=6, nbcols=6, R=4, C=4, density=0.3, seed=0, spd=False):
+    rng = np.random.default_rng(seed)
+    n, m = nbrows * R, nbcols * C
+    dense = np.zeros((n, m))
+    for i in range(nbrows):
+        for j in range(nbcols):
+            if rng.random() < density or (spd and i == j):
+                dense[i * R : (i + 1) * R, j * C : (j + 1) * C] = (
+                    rng.standard_normal((R, C))
+                )
+    if spd:
+        dense = dense @ dense.T + n * np.eye(n)
+    return dense
+
+
+def test_bsr_spmm_matches_dense():
+    dense = _random_bsr()
+    A = BSROperator.from_scipy(
+        scipy.sparse.csr_matrix(dense), blocksize=(4, 4)
+    )
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((24, 3)))
+    np.testing.assert_allclose(
+        np.asarray(A @ X), dense @ np.asarray(X), atol=1e-12
+    )
+    x = jnp.asarray(rng.standard_normal(24))
+    np.testing.assert_allclose(
+        np.asarray(A @ x), dense @ np.asarray(x), atol=1e-12
+    )
+
+
+def test_bsr_rmatvec_matches_dense():
+    dense = _random_bsr(seed=2)
+    A = BSROperator.from_scipy(scipy.sparse.csr_matrix(dense), blocksize=(4, 4))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(24))
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(x)), dense.T @ np.asarray(x), atol=1e-12
+    )
+    X = jnp.asarray(rng.standard_normal((24, 2)))
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(X)), dense.T @ np.asarray(X), atol=1e-12
+    )
+
+
+def test_bsr_diagonal_and_todense():
+    dense = _random_bsr(seed=4)
+    A = BSROperator.from_scipy(scipy.sparse.csr_matrix(dense), blocksize=(4, 4))
+    np.testing.assert_allclose(np.asarray(A.todense()), dense, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(A.diagonal()), np.diag(dense), atol=1e-14
+    )
+
+
+def test_cg_on_bsr_multi_rhs():
+    dense = _random_bsr(spd=True, seed=5)
+    A = BSROperator.from_scipy(scipy.sparse.csr_matrix(dense), blocksize=(4, 4))
+    rng = np.random.default_rng(6)
+    B = jnp.asarray(rng.standard_normal((24, 3)))
+    sol, info = krylov_tpu.cg(A, B, tol=1e-12, maxiter=200)
+    assert info.success
+    x_ref = np.linalg.solve(dense, np.asarray(B))
+    np.testing.assert_allclose(np.asarray(sol), x_ref, atol=1e-8)
+
+
+def test_bsr_pallas_kernel_interpret_mode():
+    """The actual Pallas SpMM kernel in interpreter mode."""
+    from krylov_tpu.ops.pallas_bsr import bsr_spmm
+
+    dense = _random_bsr(nbrows=4, nbcols=4, R=8, C=8, seed=7)
+    A = BSROperator.from_scipy(
+        scipy.sparse.csr_matrix(dense), blocksize=(8, 8)
+    )
+    rng = np.random.default_rng(8)
+    X = jnp.asarray(rng.standard_normal((32, 4)), jnp.float32)
+    got = bsr_spmm(
+        jnp.asarray(A.data, jnp.float32), A.cols, X, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), dense @ np.asarray(X), rtol=1e-5, atol=1e-5
+    )
