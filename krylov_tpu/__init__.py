@@ -14,7 +14,13 @@ src/krylov/__init__.py:21-49) plus the TPU-native extensions under
 from . import ops, utils
 from .__about__ import __version__
 from ._info import Info
-from ._operators import Identity, Product, as_operator
+from ._operators import (
+    DiagonalOperator,
+    Identity,
+    Product,
+    as_operator,
+    jacobi_preconditioner,
+)
 from .arnoldi import ArnoldiHouseholder, ArnoldiLanczos, ArnoldiMGS, arnoldi_res
 from .errors import ArgumentError
 from .givens import givens
@@ -35,6 +41,8 @@ __all__ = [
     "Householder",
     "givens",
     "Identity",
+    "DiagonalOperator",
+    "jacobi_preconditioner",
     "Product",
     "as_operator",
     "aslinearoperator",

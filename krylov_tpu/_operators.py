@@ -120,6 +120,58 @@ class MatrixOperator:
         return cls(*children)
 
 
+@register_pytree_node_class
+class DiagonalOperator:
+    """Diagonal operator ``diag(d)`` — the Jacobi preconditioner shape.
+
+    Elementwise multiply, so it shards trivially with the vectors (used by
+    ``parallel.sharded_solve(..., M_diag=...)``) and works with any vector
+    shape (flat, multi-RHS, grid-shaped).
+    """
+
+    def __init__(self, d):
+        self.d = d
+
+    @property
+    def dtype(self):
+        return self.d.dtype
+
+    @property
+    def shape(self):
+        n = int(np.prod(self.d.shape))
+        return (n, n)
+
+    def __matmul__(self, x):
+        if x.ndim > self.d.ndim:  # multi-RHS trailing dims
+            return self.d.reshape(self.d.shape + (1,) * (x.ndim - self.d.ndim)) * x
+        return self.d * x
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        if x.ndim > self.d.ndim:
+            return jnp.conj(
+                self.d.reshape(self.d.shape + (1,) * (x.ndim - self.d.ndim))
+            ) * x
+        return jnp.conj(self.d) * x
+
+    def diagonal(self):
+        return self.d.reshape(-1)
+
+    def tree_flatten(self):
+        return (self.d,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def jacobi_preconditioner(A):
+    """``M = diag(A)^-1`` as a :class:`DiagonalOperator` (guarding zeros)."""
+    d = jnp.asarray(A.diagonal() if hasattr(A, "diagonal") else jnp.diagonal(A))
+    return DiagonalOperator(jnp.where(d != 0, 1.0 / d, 1.0))
+
+
 class CallableOperatorWrapper:
     """Wraps an arbitrary object that implements ``__matmul__``.
 

@@ -37,6 +37,7 @@ def sharded_solve(
     mesh=None,
     shard_rhs=False,
     x0=None,
+    M_diag=None,
     tol=1e-5,
     atol=1e-15,
     maxiter=None,
@@ -52,6 +53,9 @@ def sharded_solve(
       all devices on the rows axis).
     * ``shard_rhs`` — additionally shard RHS columns over the ``rhs`` mesh
       axis (pure data parallelism).
+    * ``M_diag`` — global diagonal of a Jacobi-type preconditioner
+      ``M = diag(M_diag)`` (shape ``(N,)``); sharded with the vectors and
+      passed to the solver as ``M`` (elementwise, no communication).
 
     Returns ``(sol, Info)`` with reference-parity semantics: ``sol is None``
     when unconverged, ``info.resnorms`` a host array of shape
@@ -70,8 +74,8 @@ def sharded_solve(
         and (b.ndim == 1 or b.shape == A.grid)
     ):
         return _sharded_solve_grid(
-            solver, A, b, mesh=mesh, x0=x0, tol=tol, atol=atol,
-            maxiter=maxiter, **solver_kwargs,
+            solver, A, b, mesh=mesh, x0=x0, M_diag=M_diag, tol=tol,
+            atol=atol, maxiter=maxiter, **solver_kwargs,
         )
 
     N = b.shape[0]
@@ -109,9 +113,14 @@ def sharded_solve(
             mode=part["mode"],
         )
 
-    def local_solve(b_l, x0_l, *A_l):
+    def local_solve(b_l, x0_l, Md_l, *A_l):
         A_op = make_local(*A_l)
         inner = psum_inner(b_l.shape, ROWS)
+        kw = dict(solver_kwargs)
+        if M_diag is not None:
+            from .._operators import DiagonalOperator
+
+            kw["M"] = DiagonalOperator(Md_l)
         xk, info = solver(
             A_op,
             b_l,
@@ -121,7 +130,7 @@ def sharded_solve(
             atol=atol,
             maxiter=maxiter,
             backend="while_loop",
-            **solver_kwargs,
+            **kw,
         )
         # success/numsteps are scalars per (rows x rhs)-shard program; with
         # rhs sharding each rhs shard may stop at a different iteration, so
@@ -133,15 +142,22 @@ def sharded_solve(
             info.resnorms,
         )
 
+    Md = (
+        jnp.zeros((1,), b.dtype)  # placeholder, unused
+        if M_diag is None
+        else jnp.asarray(M_diag)
+    )
+    Md_spec = P() if M_diag is None else P(ROWS)
+
     one_spec = P(rhs_axis) if rhs_axis else P()
     fn = shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(vec_spec, vec_spec) + A_specs,
+        in_specs=(vec_spec, vec_spec, Md_spec) + A_specs,
         out_specs=(vec_spec, one_spec, one_spec, buf_spec),
         check_vma=False,
     )
-    xk, success, numsteps, buf = jax.jit(fn)(b, x0, *A_arrays)
+    xk, success, numsteps, buf = jax.jit(fn)(b, x0, Md, *A_arrays)
 
     numsteps = int(np.max(np.asarray(numsteps)))
     success = bool(np.all(np.asarray(success)))
@@ -151,7 +167,7 @@ def sharded_solve(
 
 
 def _sharded_solve_grid(
-    solver, A, b, *, mesh, x0, tol, atol, maxiter, **solver_kwargs
+    solver, A, b, *, mesh, x0, tol, atol, maxiter, M_diag=None, **solver_kwargs
 ):
     """Row-partitioned solve in the grid (M, ny) layout — see parallel/grid.py."""
     n_rows = mesh.shape[ROWS]
@@ -168,10 +184,16 @@ def _sharded_solve_grid(
         if x0 is None
         else jnp.asarray(x0).reshape(Mg, ny)
     )
+    Md2 = (
+        jnp.zeros((1, 1), b2.dtype)  # placeholder, unused
+        if M_diag is None
+        else jnp.asarray(M_diag).reshape(Mg, ny)
+    )
+    Md_spec = P() if M_diag is None else P(ROWS, None)
 
     offsets, ny_, herm = A.offsets, A.ny, A.hermitian
 
-    def local_solve(b_l, x0_l, coeffs_l):
+    def local_solve(b_l, x0_l, Md_l, coeffs_l):
         A_op = ShardedGridStencilOperator(
             coeffs_l, offsets, ny_, axis=ROWS, hermitian=herm
         )
@@ -179,9 +201,14 @@ def _sharded_solve_grid(
         def inner(u, v):
             return lax.psum(jnp.sum(jnp.conj(u) * v), ROWS)
 
+        kw = dict(solver_kwargs)
+        if M_diag is not None:
+            from .._operators import DiagonalOperator
+
+            kw["M"] = DiagonalOperator(Md_l)
         xk, info = solver(
             A_op, b_l, inner=inner, x0=x0_l, tol=tol, atol=atol,
-            maxiter=maxiter, backend="while_loop", **solver_kwargs,
+            maxiter=maxiter, backend="while_loop", **kw,
         )
         return (
             xk,
@@ -193,11 +220,11 @@ def _sharded_solve_grid(
     fn = shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(P(ROWS, None), P(ROWS, None), P(None, ROWS, None)),
+        in_specs=(P(ROWS, None), P(ROWS, None), Md_spec, P(None, ROWS, None)),
         out_specs=(P(ROWS, None), P(), P(), P()),
         check_vma=False,
     )
-    xk, success, numsteps, buf = jax.jit(fn)(b2, x02, A.coeffs2d)
+    xk, success, numsteps, buf = jax.jit(fn)(b2, x02, Md2, A.coeffs2d)
 
     numsteps = int(np.max(np.asarray(numsteps)))
     success = bool(np.all(np.asarray(success)))
