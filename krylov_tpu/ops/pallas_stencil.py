@@ -36,8 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets, col_offsets, h, tm):
     # full extended window [top halo | block | bottom halo] is materialized
-    # once; the per-band reads below are static slices of it
+    # once; the per-band reads below are static slices of it.  bf16 inputs
+    # compute in f32: Mosaic has no bf16 lane rotate, and f32 accumulation
+    # is the right numerics anyway; cast on store.
     xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
+    if xw.dtype == jnp.bfloat16:
+        xw = xw.astype(jnp.float32)
     acc = None
     for d, (dr, dc) in enumerate(zip(row_offsets, col_offsets)):
         seg = xw[h + dr : h + dr + tm]
@@ -45,9 +49,9 @@ def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets, col_offsets, 
             # lanes j + dc == roll left by dc (wrap killed by zero boundary
             # coefficients); pltpu.roll requires a non-negative static shift
             seg = pltpu.roll(seg, (-dc) % seg.shape[1], axis=1)
-        term = c_ref[d] * seg
+        term = c_ref[d].astype(seg.dtype) * seg
         acc = term if acc is None else acc + term
-    y_ref[...] = acc
+    y_ref[...] = acc.astype(y_ref.dtype)
 
 
 @functools.partial(
@@ -168,6 +172,9 @@ def supports(dtype, M, ny, row_offsets):
 
 def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny):
     xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
+    if xw.dtype == jnp.bfloat16:
+        # no bf16 lane rotate in Mosaic; f32 accumulation, cast on store
+        xw = xw.astype(jnp.float32)
     gi0 = pl.program_id(0) * tm
     rows = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + gi0
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, ny), 1)
@@ -186,7 +193,7 @@ def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny):
             mask = mc if mask is None else mask & mc
         term = w * seg if mask is None else jnp.where(mask, w * seg, 0)
         acc = term if acc is None else acc + term
-    y_ref[...] = acc
+    y_ref[...] = acc.astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bands", "block_rows"))
