@@ -34,6 +34,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pick_tm(M, rows_per_block, halo_rows, bytes_per_row, min_tm=8,
+             budget=10 * 1024 * 1024):
+    """Largest divisor-of-M block height fitting the VMEM budget.
+
+    ``rows_per_block`` counts how many tm-sized row buffers the kernel holds
+    (inputs + outputs), ``halo_rows`` the fixed halo-plane rows; the whole
+    set is double-buffered by the pipeline, and the scoped VMEM limit is
+    16 MB, so the budget is conservative.
+    """
+    cap = (budget // 2 // bytes_per_row - halo_rows) // rows_per_block
+    cap = max(min(int(cap), M), 1)
+    if cap >= min_tm:
+        tm = next(
+            (t for t in range(cap, 7, -1)
+             if M % t == 0 and t % 8 == 0 and t >= min_tm),
+            None,
+        )
+        if tm is not None:
+            return tm
+    # halo width forces blocks larger than the soft budget: take the
+    # smallest feasible block (scoped VMEM hard limit is 16 MB)
+    return next(
+        (t for t in range(max(min_tm, 8), M + 1)
+         if M % t == 0 and t % 8 == 0),
+        M,
+    )
+
+
 def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets, col_offsets, h, tm):
     # full extended window [top halo | block | bottom halo] is materialized
     # once; the per-band reads below are static slices of it.  bf16 inputs
@@ -75,19 +103,13 @@ def stencil2d_matvec(
     ndiag, M, ny = coeffs.shape
     h = max((max(0, -min(row_offsets)), max(0, max(row_offsets))))
 
+    bpr = ny * coeffs.dtype.itemsize
     if block_rows is None:
-        # fit (double-buffered) operand blocks in ~12 MB of VMEM
-        budget = 12 * 1024 * 1024 // 2
-        per_row = (ndiag + 2) * ny * coeffs.dtype.itemsize
-        block_rows = max(8, min(512, budget // per_row))
-    cap = min(block_rows, M)
-    # largest divisor of M that is <= cap, a multiple of 8, and >= h
-    tm = next(
-        (t for t in range(cap, 7, -1) if M % t == 0 and t % 8 == 0 and t >= h),
-        None,
-    )
-    if tm is None:  # tiny/odd shapes: fall back to one block
-        tm = M
+        # coeff planes + x + y buffers of tm rows, plus 2h halo rows
+        tm = _pick_tm(M, ndiag + 2, 2 * h, bpr, min_tm=h)
+    else:
+        tm = _pick_tm(M, ndiag + 2, 2 * h, bpr, min_tm=h,
+                      budget=2 * block_rows * (ndiag + 2) * bpr)
     nb = M // tm
 
     # halo planes: top[k] = x[k*tm - h : k*tm], bottom[k] = x[(k+1)*tm : +h]
@@ -185,7 +207,9 @@ def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny):
             seg = pltpu.roll(seg, (-dc) % ny, axis=1)
         mask = None
         for stride, size, step in row_constraints:
-            c = jax.lax.rem(jax.lax.div(rows, stride), size)
+            c = jax.lax.rem(
+                jax.lax.div(rows, jnp.int32(stride)), jnp.int32(size)
+            )
             m = (c + step >= 0) & (c + step < size)
             mask = m if mask is None else mask & m
         if dc:
@@ -207,17 +231,14 @@ def const_stencil2d_matvec(x, bands, block_rows=None):
     row_offsets = tuple(b[0] for b in bands)
     h = max((max(0, -min(row_offsets)), max(0, max(row_offsets))))
 
+    bpr = ny * x.dtype.itemsize
     if block_rows is None:
-        budget = 12 * 1024 * 1024 // 2
-        per_row = 2 * ny * x.dtype.itemsize
-        block_rows = max(8, min(1024, budget // per_row))
-    cap = min(block_rows, M)
-    tm = next(
-        (t for t in range(cap, 7, -1) if M % t == 0 and t % 8 == 0 and t >= h),
-        None,
-    )
-    if tm is None:
-        tm = M
+        # x + y buffers of tm rows, plus 2h halo rows (f32 working set
+        # even for bf16 inputs: the kernel upcasts)
+        tm = _pick_tm(M, 3, 3 * h, max(bpr, 4 * ny), min_tm=h)
+    else:
+        tm = _pick_tm(M, 3, 3 * h, max(bpr, 4 * ny), min_tm=h,
+                      budget=2 * block_rows * 3 * max(bpr, 4 * ny))
     nb = M // tm
 
     if h > 0:
@@ -247,3 +268,145 @@ def const_stencil2d_matvec(x, bands, block_rows=None):
         ),
         out_shape=jax.ShapeDtypeStruct((M, ny), x.dtype),
     )(x, tops, bots)
+
+
+# ---------------------------------------------------------------------------
+# Fused CG iteration kernels (constant-coefficient stencils)
+# ---------------------------------------------------------------------------
+#
+# One CG iteration is two dependent phases separated by the pAp reduction
+# (SURVEY.md §3.2).  Fusing each phase into a single pass over the vectors
+# cuts HBM traffic from ~15N words to ~10N:
+#
+#   phase A:  p = r + omega * p;  Ap = A p;  partial <p, Ap>   (4N words)
+#   phase B:  y += alpha * p;  r -= alpha * Ap;  partial <r,r> (6N words)
+#
+# The p-update is recomputed for the halo rows from the r/p halo planes, so
+# phase A's stencil needs no second kernel's output — each block is
+# self-contained.
+
+
+def _cg_a_kernel(om_ref, r_ref, p_ref, rt_ref, rb_ref, pt_ref, pb_ref,
+                 pn_ref, ap_ref, pap_ref, *, bands, h, tm, ny):
+    om = om_ref[0, 0]
+    r_ext = jnp.concatenate([rt_ref[0], r_ref[...], rb_ref[0]], axis=0)
+    p_ext = jnp.concatenate([pt_ref[0], p_ref[...], pb_ref[0]], axis=0)
+    pn_ext = r_ext + om * p_ext  # halo rows recomputed locally
+    pn = pn_ext[h : h + tm]
+    pn_ref[...] = pn
+
+    gi0 = pl.program_id(0) * tm
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + gi0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, ny), 1)
+    acc = None
+    for dr, dc, w, row_constraints in bands:
+        seg = pn_ext[h + dr : h + dr + tm]
+        if dc:
+            seg = pltpu.roll(seg, (-dc) % ny, axis=1)
+        mask = None
+        for stride, size, step in row_constraints:
+            c = jax.lax.rem(
+                jax.lax.div(rows, jnp.int32(stride)), jnp.int32(size)
+            )
+            m = (c + step >= 0) & (c + step < size)
+            mask = m if mask is None else mask & m
+        if dc:
+            mc = (cols + dc >= 0) & (cols + dc < ny)
+            mask = mc if mask is None else mask & mc
+        term = w * seg if mask is None else jnp.where(mask, w * seg, 0)
+        acc = term if acc is None else acc + term
+    ap_ref[...] = acc
+    pap_ref[0, 0] = jnp.sum(pn * acc)
+
+
+def _cg_b_kernel(al_ref, y_ref, r_ref, p_ref, ap_ref,
+                 yn_ref, rn_ref, rho_ref):
+    al = al_ref[0, 0]
+    rn = r_ref[...] - al * ap_ref[...]
+    yn_ref[...] = y_ref[...] + al * p_ref[...]
+    rn_ref[...] = rn
+    rho_ref[0, 0] = jnp.sum(rn * rn)
+
+
+def _halo_planes(x, nb, tm, h):
+    ny = x.shape[1]
+    xr = x.reshape(nb, tm, ny)
+    zero = jnp.zeros((1, h, ny), x.dtype)
+    tops = jnp.concatenate([zero, xr[:-1, tm - h :]], axis=0)
+    bots = jnp.concatenate([xr[1:, :h], zero], axis=0)
+    return tops, bots
+
+
+@functools.partial(jax.jit, static_argnames=("bands", "block_rows"))
+def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
+    """Returns (p_new, Ap, pAp) in one pass."""
+    M, ny = r.shape
+    row_offsets = tuple(b[0] for b in bands)
+    h = max((max(0, -min(row_offsets)), max(0, max(row_offsets)), 1))
+
+    bpr = ny * r.dtype.itemsize
+    # r, p, p_new, Ap blocks + 4 halo planes + the p_ext intermediate
+    tm = _pick_tm(M, 6, 6 * h, bpr, min_tm=h)
+    nb = M // tm
+
+    rt, rb = _halo_planes(r, nb, tm, h)
+    pt, pb = _halo_planes(p, nb, tm, h)
+    om = jnp.asarray(omega, r.dtype).reshape(1, 1)
+
+    kern = functools.partial(_cg_a_kernel, bands=bands, h=h, tm=tm, ny=ny)
+    pn, ap, pap = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((nb, 1), r.dtype),
+        ),
+    )(om, r, p, rt, rb, pt, pb)
+    return pn, ap, jnp.sum(pap)
+
+
+@jax.jit
+def cg_fused_phase_b(alpha, y, r, p, ap):
+    """Returns (y_new, r_new, rho_new) in one pass."""
+    M, ny = r.shape
+    tm = _pick_tm(M, 6, 0, ny * r.dtype.itemsize)
+    nb = M // tm
+    al = jnp.asarray(alpha, r.dtype).reshape(1, 1)
+
+    yn, rn, rho = pl.pallas_call(
+        _cg_b_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((nb, 1), r.dtype),
+        ),
+    )(al, y, r, p, ap)
+    return yn, rn, jnp.sum(rho)

@@ -1,6 +1,7 @@
 from .bicg import bicg
 from .bicgstab import bicgstab
 from .cg import cg
+from .cg_stencil import cg_stencil
 from .cgne import cgne
 from .cgnr import cgnr
 from .cgr import cgr
@@ -23,6 +24,7 @@ __all__ = [
     "bicg",
     "bicgstab",
     "cg",
+    "cg_stencil",
     "cgne",
     "cgnr",
     "cgr",

@@ -1,0 +1,122 @@
+"""Fused conjugate gradient for constant-coefficient stencil operators.
+
+Mathematically identical to :func:`krylov_tpu.cg` (same recurrence,
+division guards, explicit-residual double-check — reference:
+src/krylov/cg.py:155-217), but each iteration runs as two fused Pallas
+passes (:mod:`krylov_tpu.ops.pallas_stencil`):
+
+  phase A: ``p = r + omega p``, ``Ap = A p``, partial ``<p, Ap>``
+  phase B: ``y += alpha p``, ``r -= alpha Ap``, partial ``<r, r>``
+
+cutting per-iteration HBM traffic from ~15N to ~10N words.  Unpreconditioned
+Euclidean CG on grid-shaped single-RHS vectors; falls back to the generic
+:func:`krylov_tpu.cg` when the operator/backend/arguments don't fit.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .._driver import WHILE_LOOP, Method, run
+from .._info import Info
+from ..ops.stencil import ConstStencilOperator
+
+
+class _FusedState(NamedTuple):
+    y: jnp.ndarray  # solution increment (xk = x0 + y)
+    r: jnp.ndarray
+    p: jnp.ndarray
+    rho_old: jnp.ndarray
+    rho: jnp.ndarray
+    resnorm: jnp.ndarray
+
+
+def cg_stencil(
+    A,
+    b,
+    x0=None,
+    tol: float = 1e-5,
+    atol: float = 1.0e-15,
+    maxiter: Optional[int] = None,
+):
+    """Fused-kernel CG for :class:`ConstStencilOperator` (grid vectors)."""
+    from ..ops import pallas_stencil
+
+    if not isinstance(A, ConstStencilOperator):
+        raise TypeError("cg_stencil requires a ConstStencilOperator")
+    Mg, ny = A.grid
+    b = jnp.asarray(b)
+    flat_in = b.ndim == 1
+    b2 = b.reshape(Mg, ny) if flat_in else b
+    if b2.shape != (Mg, ny):
+        raise ValueError("cg_stencil supports a single grid-shaped RHS")
+    N = Mg * ny
+    maxiter = N if maxiter is None else maxiter
+
+    row_offsets = tuple(bd[0] for bd in A.bands)
+    use_fused = pallas_stencil.supports(b2.dtype, Mg, ny, row_offsets)
+    bands = A.bands
+
+    x02 = jnp.zeros_like(b2) if x0 is None else jnp.asarray(x0).reshape(Mg, ny)
+    r0 = b2 - (A @ x02)
+    rho0 = jnp.sum(r0 * r0)
+    resnorm0 = jnp.sqrt(rho0)
+
+    state0 = _FusedState(
+        y=jnp.zeros_like(b2),
+        r=r0,
+        p=jnp.zeros_like(b2),
+        rho_old=jnp.ones_like(rho0),
+        rho=rho0,
+        resnorm=resnorm0,
+    )
+
+    def step(s: _FusedState, criterion) -> _FusedState:
+        omega = s.rho / jnp.where(s.rho_old != 0, s.rho_old, 1.0)
+        if use_fused:
+            p, Ap, pAp = pallas_stencil.cg_fused_phase_a(
+                omega, s.r, s.p, bands
+            )
+        else:
+            p = s.r + omega * s.p
+            Ap = A @ p
+            pAp = jnp.sum(p * Ap)
+        alpha = s.rho / jnp.where(pAp != 0, pAp, 1.0)
+        if use_fused:
+            y, r, rho_new = pallas_stencil.cg_fused_phase_b(
+                alpha, s.y, s.r, p, Ap
+            )
+        else:
+            y = s.y + alpha * p
+            r = s.r - alpha * Ap
+            rho_new = jnp.sum(r * r)
+        return _FusedState(
+            y=y, r=r, p=p, rho_old=s.rho, rho=rho_new,
+            resnorm=jnp.sqrt(rho_new),
+        )
+
+    def xk_of(s: _FusedState):
+        return x02 + s.y
+
+    def explicit_resnorm(xk):
+        rr = b2 - (A @ xk)
+        return jnp.sqrt(jnp.sum(rr * rr))
+
+    method = Method(step=step, xk=xk_of, explicit_resnorm=explicit_resnorm)
+    state, success, k, resnorms = run(
+        state0, method, tol=tol, atol=atol, maxiter=maxiter,
+        backend=WHILE_LOOP,
+    )
+
+    xk = xk_of(state)
+    if flat_in:
+        xk = xk.reshape(-1)
+    num_operations = {
+        "A": 1 + k, "M": 2 + k, "Ml": 2 + k, "Mr": 1 + k,
+        "inner": 2 + 2 * k, "axpy": 2 + 2 * k,
+    }
+    info = Info(success, xk, k, resnorms, num_operations, None)
+    if isinstance(success, (bool, np.bool_)):
+        return xk if success else None, info
+    return xk, info

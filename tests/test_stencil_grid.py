@@ -209,3 +209,83 @@ def test_const_stencil_multi_rhs():
     X = jnp.asarray(rng.standard_normal((64, 3)))
     want = np.stack([np.asarray(A @ X[:, k]) for k in range(3)], axis=1)
     np.testing.assert_allclose(np.asarray(A @ X), want, atol=1e-13)
+
+
+def test_cg_stencil_matches_generic_cg():
+    A = stencil.poisson_2d_const(8, 16, dtype=np.float64)
+    rng = np.random.default_rng(20)
+    b = jnp.asarray(rng.standard_normal(128))
+    sol_ref, info_ref = krylov_tpu.cg(A, b, tol=1e-12, maxiter=400)
+    sol, info = krylov_tpu.cg_stencil(A, b, tol=1e-12, maxiter=400)
+    assert info.success
+    assert info.numsteps == info_ref.numsteps
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-10)
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-9, atol=1e-13
+    )
+
+
+def test_cg_stencil_grid_rhs_and_unconverged():
+    A = stencil.poisson_2d_const(8, 16, dtype=np.float64)
+    rng = np.random.default_rng(21)
+    b2 = jnp.asarray(rng.standard_normal((8, 16)))
+    sol, info = krylov_tpu.cg_stencil(A, b2, tol=1e-12, maxiter=400)
+    assert info.success and sol.shape == (8, 16)
+    soln, infon = krylov_tpu.cg_stencil(A, b2, tol=1e-30, atol=0.0, maxiter=3)
+    assert soln is None and not infon.success
+
+
+def test_cg_fused_kernels_interpret_mode():
+    """Fused phase kernels in Pallas interpreter mode vs plain ops."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from krylov_tpu.ops import pallas_stencil as ps
+
+    A = stencil.poisson_2d_const(16, 8, dtype=np.float32)
+    M, ny = A.grid
+    rng = np.random.default_rng(22)
+    r = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    omega = jnp.float32(0.7)
+
+    h, tm, nb = 1, 8, 2
+    rt, rb = ps._halo_planes(r, nb, tm, h)
+    pt, pb = ps._halo_planes(p, nb, tm, h)
+    om = jnp.asarray(omega).reshape(1, 1)
+    kern = functools.partial(
+        ps._cg_a_kernel, bands=A.bands, h=h, tm=tm, ny=ny
+    )
+    pn, ap, pap = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ),
+        interpret=True,
+    )(om, r, p, rt, rb, pt, pb)
+
+    pn_ref = r + omega * p
+    ap_ref = A @ pn_ref
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(pn_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        float(jnp.sum(pap)), float(jnp.sum(pn_ref * ap_ref)), rtol=1e-4
+    )

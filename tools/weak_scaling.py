@@ -11,6 +11,10 @@ count (weak scaling): each device owns ``rows_per_device`` rows of the grid.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 import json
 import time
 
