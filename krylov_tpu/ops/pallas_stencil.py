@@ -316,7 +316,18 @@ def _cg_a_kernel(om_ref, r_ref, p_ref, rt_ref, rb_ref, pt_ref, pb_ref,
         term = w * seg if mask is None else jnp.where(mask, w * seg, 0)
         acc = term if acc is None else acc + term
     ap_ref[...] = acc
-    pap_ref[0, 0] = jnp.sum(pn * acc)
+
+    # per-block partial <p, Ap> written to this block's OWN (8, 128) output
+    # tile (revisiting a shared accumulator serializes the pipeline; a
+    # per-step SMEM scalar store stalls it); final sum happens outside
+    prod = pn * acc
+    if prod.size % 128 == 0:
+        part = prod.reshape(-1, 128).sum(axis=0).reshape(1, 128)
+    else:  # tiny/odd blocks (tests): scalar in lane 0
+        part = jnp.zeros((1, 128), prod.dtype).at[0, 0].set(jnp.sum(prod))
+    pap_ref[...] = jnp.concatenate(
+        [part, jnp.zeros((7, 128), part.dtype)], axis=0
+    )[None]
 
 
 def _cg_b_kernel(al_ref, y_ref, r_ref, p_ref, ap_ref,
@@ -325,7 +336,15 @@ def _cg_b_kernel(al_ref, y_ref, r_ref, p_ref, ap_ref,
     rn = r_ref[...] - al * ap_ref[...]
     yn_ref[...] = y_ref[...] + al * p_ref[...]
     rn_ref[...] = rn
-    rho_ref[0, 0] = jnp.sum(rn * rn)
+
+    prod = rn * rn
+    if prod.size % 128 == 0:
+        part = prod.reshape(-1, 128).sum(axis=0).reshape(1, 128)
+    else:
+        part = jnp.zeros((1, 128), prod.dtype).at[0, 0].set(jnp.sum(prod))
+    rho_ref[...] = jnp.concatenate(
+        [part, jnp.zeros((7, 128), part.dtype)], axis=0
+    )[None]
 
 
 def _halo_planes(x, nb, tm, h):
@@ -346,7 +365,7 @@ def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
 
     bpr = ny * r.dtype.itemsize
     # r, p, p_new, Ap blocks + 4 halo planes + the p_ext intermediate
-    tm = _pick_tm(M, 6, 6 * h, bpr, min_tm=h)
+    tm = _pick_tm(M, 6, 6 * h, bpr, min_tm=h, budget=13 * 1024 * 1024)
     nb = M // tm
 
     rt, rb = _halo_planes(r, nb, tm, h)
@@ -369,12 +388,14 @@ def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
         out_specs=(
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, ny), r.dtype),
             jax.ShapeDtypeStruct((M, ny), r.dtype),
-            jax.ShapeDtypeStruct((nb, 1), r.dtype),
+            jax.ShapeDtypeStruct((nb, 8, 128), r.dtype),
         ),
     )(om, r, p, rt, rb, pt, pb)
     return pn, ap, jnp.sum(pap)
@@ -384,7 +405,7 @@ def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
 def cg_fused_phase_b(alpha, y, r, p, ap):
     """Returns (y_new, r_new, rho_new) in one pass."""
     M, ny = r.shape
-    tm = _pick_tm(M, 6, 0, ny * r.dtype.itemsize)
+    tm = _pick_tm(M, 6, 0, ny * r.dtype.itemsize, budget=13 * 1024 * 1024)
     nb = M // tm
     al = jnp.asarray(alpha, r.dtype).reshape(1, 1)
 
@@ -401,12 +422,14 @@ def cg_fused_phase_b(alpha, y, r, p, ap):
         out_specs=(
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, ny), r.dtype),
             jax.ShapeDtypeStruct((M, ny), r.dtype),
-            jax.ShapeDtypeStruct((nb, 1), r.dtype),
+            jax.ShapeDtypeStruct((nb, 8, 128), r.dtype),
         ),
     )(al, y, r, p, ap)
     return yn, rn, jnp.sum(rho)

@@ -39,8 +39,15 @@ def cg_stencil(
     tol: float = 1e-5,
     atol: float = 1.0e-15,
     maxiter: Optional[int] = None,
+    fused: bool = False,
 ):
-    """Fused-kernel CG for :class:`ConstStencilOperator` (grid vectors)."""
+    """CG for :class:`ConstStencilOperator` on grid vectors.
+
+    ``fused=True`` opts into the two-pass fused Pallas iteration; measured
+    on v5e it does NOT yet beat XLA's own fusion of the default path (XLA
+    runs the vector phases at ~roofline already), so the default composes
+    the const-stencil SpMV kernel with XLA vector ops.
+    """
     from ..ops import pallas_stencil
 
     if not isinstance(A, ConstStencilOperator):
@@ -55,7 +62,7 @@ def cg_stencil(
     maxiter = N if maxiter is None else maxiter
 
     row_offsets = tuple(bd[0] for bd in A.bands)
-    use_fused = pallas_stencil.supports(b2.dtype, Mg, ny, row_offsets)
+    use_fused = fused and pallas_stencil.supports(b2.dtype, Mg, ny, row_offsets)
     bands = A.bands
 
     x02 = jnp.zeros_like(b2) if x0 is None else jnp.asarray(x0).reshape(Mg, ny)

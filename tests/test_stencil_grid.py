@@ -272,12 +272,12 @@ def test_cg_fused_kernels_interpret_mode():
         out_specs=(
             pl.BlockSpec((tm, ny), lambda i: (i, 0)),
             pl.BlockSpec((tm, ny), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, ny), jnp.float32),
             jax.ShapeDtypeStruct((M, ny), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32),
         ),
         interpret=True,
     )(om, r, p, rt, rb, pt, pb)
