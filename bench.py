@@ -1,20 +1,26 @@
-"""Headline benchmark: 2-D Poisson (5-point) stencil SpMV throughput, 1 chip.
+"""Headline benchmark: 2-D Poisson (5-point) stencil SpMV, one chip.
 
-The SpMV is the hot inner op of every Krylov solver (SURVEY.md §3: one SpMV +
-1-2 reductions per CG iteration) and is HBM-bandwidth-bound; the metric is
-effective GB/s of the ideal-traffic model ``(ndiag + 2) * N * itemsize``
-against the chip's roofline.  ``vs_baseline`` is measured bandwidth over the
-80%-of-roofline target from BASELINE.md.
+The SpMV is the hot inner op of every Krylov solver (SURVEY.md §3: one SpMV
++ 1-2 reductions per CG iteration) and is HBM-bandwidth-bound; the metric is
+achieved HBM bandwidth against the chip's roofline, with ``vs_baseline`` =
+achieved / (0.8 * peak) per BASELINE.md's >=80%-of-roofline target.
 
-Timing methodology: through the remote-TPU tunnel ``block_until_ready`` can
-return before device completion and a host roundtrip costs ~100ms, so each
+Accounting: at the headline size (4096^2, 16.7M rows) the x/y ping-pong pair
+(134 MB) fits in v5e's VMEM, so the HBM traffic of one matvec is the
+coefficient stream alone (5N words); the iterate buffers are reused in place
+(``input_output_aliases`` — a fresh-output pallas_call halves the HBM rate).
+A pure-streaming configuration (8192^2, 268 MB iterates, 7N-word model) is
+reported alongside so both regimes are visible.
+
+Timing: through the remote-TPU tunnel ``block_until_ready`` can return
+before device completion and a host roundtrip costs ~100ms, so each
 measurement chains K matvecs inside one compiled ``lax.fori_loop``, forces
 completion with a scalar readback, and differences two K values to cancel
-all fixed overhead (dispatch, readback, loop entry).
+all fixed overhead.
 
 Prints ONE JSON line:
-  {"metric": "spmv_poisson2d_bandwidth", "value": <GB/s>, "unit": "GB/s",
-   "vs_baseline": <value / (0.8 * peak)>, ...extras}
+  {"metric": "spmv_poisson2d_hbm_bandwidth", "value": <GB/s>, "unit":
+   "GB/s", "vs_baseline": <value / (0.8 * peak)>, ...extras}
 """
 
 import json
@@ -53,127 +59,128 @@ def main():
     from jax import lax
 
     from krylov_tpu.ops import stencil
-    from krylov_tpu.solvers.cg import cg
+    from krylov_tpu.ops.pallas_stencil import (
+        const_stencil2d_matvec,
+        stencil2d_matvec,
+    )
+    from krylov_tpu.solvers.cg_stencil import cg_stencil
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
     on_tpu = dev.platform == "tpu"
     peak = _peak_gbps(kind) if on_tpu else 50.0  # rough CPU fallback
-
-    # big enough that x/y stream from HBM too (x alone = 67 MB at 4096^2)
-    nx = 4096 if on_tpu else 256
-    N = nx * nx
-    A = stencil.poisson_2d(nx, nx, dtype=np.float32)
-    # scale so repeated application is numerically stable when chained
-    A_bench = stencil.GridStencilOperator(
-        A.coeffs * np.float32(0.124), A.offsets, A.ny, hermitian=True
-    )
     rng = np.random.default_rng(0)
-    # grid-shaped vectors: the fast path (no 1-D<->2-D relayout per matvec)
-    x = jnp.asarray(rng.standard_normal(A.grid), jnp.float32)
 
-    @partial(jax.jit, static_argnums=2)
-    def chain(coeffs2d, v, K):
-        op = stencil.GridStencilOperator(
-            coeffs2d, A.offsets, A.ny, hermitian=True
-        )
-        return lax.fori_loop(0, K, lambda i, u: op @ u, v)
+    # chained matvec u <- A u; u is dead after each application, so the
+    # kernel may reuse its buffer (alias_x)
+    @partial(jax.jit, static_argnums=(2, 3, 4))
+    def chain_var(c2, v, ro, co, K):
+        if on_tpu:
+            body = lambda i, u: stencil2d_matvec(c2, u, ro, co, alias_x=True)
+        else:
+            op = stencil.GridStencilOperator(c2, None, 0)  # placeholder
+            body = None
+        return lax.fori_loop(0, K, body, v)
 
-    def timed(K, reps):
-        r = chain(A_bench.coeffs2d, x, K)
-        float(jnp.sum(r))  # readback forces completion (compile + warm)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            r = chain(A_bench.coeffs2d, x, K)
-            float(jnp.sum(r))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def timed(fn, args, k_lo, k_hi, reps):
+        def t(K):
+            r = fn(*args, K)
+            float(jnp.sum(r))  # readback forces completion
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                r = fn(*args, K)
+                float(jnp.sum(r))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    k_lo, k_hi, reps = (8, 136, 5) if on_tpu else (2, 10, 2)
-    dt = (timed(k_hi, reps) - timed(k_lo, reps)) / (k_hi - k_lo)
+        return (t(k_hi) - t(k_lo)) / (k_hi - k_lo)
 
-    # constant-coefficient stencil (no coefficient arrays; in-kernel Dirichlet
-    # masks): only x and y touch HBM -> ~3x the matvec rate
-    Ac = stencil.poisson_2d_const(nx, nx, dtype=np.float32)
-    Ac_bench = stencil.ConstStencilOperator(
-        (nx, nx), Ac.offsets_nd, tuple(0.124 * w for w in Ac.weights), np.float32
-    )
+    k_lo, k_hi, reps = (8, 136, 4) if on_tpu else (2, 10, 2)
 
-    @partial(jax.jit, static_argnums=1)
-    def chain_const(v, K):
-        return lax.fori_loop(0, K, lambda i, u: Ac_bench @ u, v)
+    def measure_var(nx):
+        A = stencil.poisson_2d(nx, nx, dtype=np.float32)
+        c2 = A.coeffs2d * np.float32(0.124)  # stable chaining
+        x = jnp.asarray(rng.standard_normal(A.grid), jnp.float32)
+        if on_tpu:
+            dt = timed(
+                chain_var, (c2, x, A.row_offsets, A.col_offsets),
+                k_lo, k_hi, reps,
+            )
+        else:
+            op = stencil.GridStencilOperator(c2, A.offsets, A.ny, hermitian=True)
 
-    def timed_const(K, reps):
-        r = chain_const(x, K)
-        float(jnp.sum(r))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            r = chain_const(x, K)
-            float(jnp.sum(r))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            @partial(jax.jit, static_argnums=1)
+            def chain_cpu(v, K):
+                return lax.fori_loop(0, K, lambda i, u: op._apply_grid(u), v)
 
-    dt_const = (timed_const(k_hi, reps) - timed_const(k_lo, reps)) / (k_hi - k_lo)
+            dt = timed(lambda v, K: chain_cpu(v, K), (x,), k_lo, k_hi, reps)
+        return A, dt
 
-    # bf16: halves the x/y stream (f32 accumulation inside the kernel)
-    Ab16 = stencil.ConstStencilOperator(
-        (nx, nx), Ac.offsets_nd,
-        tuple(0.124 * w for w in Ac.weights), jnp.bfloat16,
-    )
-    x16 = x.astype(jnp.bfloat16)
-
-    @partial(jax.jit, static_argnums=1)
-    def chain_bf16(v, K):
-        return lax.fori_loop(0, K, lambda i, u: Ab16 @ u, v)
-
-    def timed_bf16(K, reps):
-        r = chain_bf16(x16, K)
-        float(jnp.sum(r.astype(jnp.float32)))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            r = chain_bf16(x16, K)
-            float(jnp.sum(r.astype(jnp.float32)))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    dt_bf16 = (timed_bf16(k_hi, reps) - timed_bf16(k_lo, reps)) / (k_hi - k_lo)
-
-    ndiag = A.coeffs.shape[0]
-    bytes_moved = (ndiag + 2) * N * 4
-    gbps = bytes_moved / dt / 1e9
+    # headline: 16.7M rows — x/y ping-pong resident in VMEM, HBM traffic is
+    # the 5N-word coefficient stream
+    nx = 4096 if on_tpu else 256
+    A, dt = measure_var(nx)
+    N = nx * nx
+    ndiag = 5
+    hbm_bytes = ndiag * N * 4 if on_tpu else (ndiag + 2) * N * 4
+    gbps = hbm_bytes / dt / 1e9
     nnz = int(A.nnz)
-    nnz_per_s = nnz / dt
 
-    # secondary metric: compiled CG, 100 iterations on the const-stencil
-    # operator, grid-shaped vectors with a full-contraction inner product
-    b = jnp.ones(Ac.grid, jnp.float32)
+    extras = {}
+    if on_tpu:
+        # pure-streaming regime: 268 MB iterates cannot stay in VMEM
+        A8, dt8 = measure_var(8192)
+        extras["stream_spmv_us"] = round(dt8 * 1e6, 2)
+        extras["stream_gbps_7w"] = round(7 * 8192 * 8192 * 4 / dt8 / 1e9, 2)
 
-    def grid_inner(u, v):
-        return jnp.sum(u * v)
-
-    @jax.jit
-    def solve(b):
-        _, info = cg(
-            Ac, b, inner=grid_inner, tol=0.0, atol=0.0,
-            maxiter=100, backend="while_loop",
+        # constant-coefficient stencil (x+y only; in-kernel Dirichlet masks)
+        Ac = stencil.poisson_2d_const(nx, nx, dtype=np.float32)
+        kb = tuple(
+            (dr, dc, 0.124 * w, rc) for dr, dc, w, rc in Ac.kernel_bands
         )
-        return info.resnorms
+        x = jnp.asarray(rng.standard_normal(Ac.grid), jnp.float32)
 
-    r = solve(b)
-    float(jnp.sum(r))
-    cg_s = float("inf")
-    for _ in range(max(1, reps - 2)):
-        t0 = time.perf_counter()
+        @partial(jax.jit, static_argnums=(1, 2))
+        def chain_const(v, bands, K):
+            return lax.fori_loop(
+                0, K,
+                lambda i, u: const_stencil2d_matvec(u, bands, alias_x=True),
+                v,
+            )
+
+        dtc = timed(lambda v, K: chain_const(v, kb, K), (x,), k_lo, k_hi, reps)
+        extras["const_spmv_us"] = round(dtc * 1e6, 2)
+        extras["const_nnz_per_s"] = round(int(Ac.nnz) / dtc, 1)
+
+        x16 = x.astype(jnp.bfloat16)
+        dtb = timed(lambda v, K: chain_const(v, kb, K), (x16,), k_lo, k_hi, reps)
+        extras["bf16_const_spmv_us"] = round(dtb * 1e6, 2)
+        extras["bf16_const_nnz_per_s"] = round(int(Ac.nnz) / dtb, 1)
+
+        # compiled fused CG, 100 iterations (const-stencil operator)
+        b = jnp.ones(Ac.grid, jnp.float32)
+
+        @jax.jit
+        def solve(b):
+            _, info = cg_stencil(
+                Ac, b, tol=0.0, atol=0.0, maxiter=100, fused=True
+            )
+            return info.resnorms
+
         r = solve(b)
         float(jnp.sum(r))
-        cg_s = min(cg_s, time.perf_counter() - t0)
+        cg_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = solve(b)
+            float(jnp.sum(r))
+            cg_s = min(cg_s, time.perf_counter() - t0)
+        extras["cg100_ms"] = round(cg_s * 1e3, 2)
 
     target = 0.8 * peak
     print(json.dumps({
-        "metric": "spmv_poisson2d_bandwidth",
+        "metric": "spmv_poisson2d_hbm_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / target, 4),
@@ -181,13 +188,9 @@ def main():
         "peak_gbps": peak,
         "n_rows": N,
         "nnz": nnz,
-        "nnz_per_s": round(nnz_per_s, 1),
+        "nnz_per_s": round(nnz / dt, 1),
         "spmv_us": round(dt * 1e6, 2),
-        "const_spmv_us": round(dt_const * 1e6, 2),
-        "const_nnz_per_s": round(int(Ac.nnz) / dt_const, 1),
-        "bf16_const_spmv_us": round(dt_bf16 * 1e6, 2),
-        "bf16_const_nnz_per_s": round(int(Ac.nnz) / dt_bf16, 1),
-        "cg100_ms": round(cg_s * 1e3, 2),
+        **extras,
     }))
 
 

@@ -67,7 +67,10 @@ def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets, col_offsets, 
     # once; the per-band reads below are static slices of it.  bf16 inputs
     # compute in f32: Mosaic has no bf16 lane rotate, and f32 accumulation
     # is the right numerics anyway; cast on store.
-    xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
+    if h > 0:
+        xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
+    else:
+        xw = x_ref[...]
     if xw.dtype == jnp.bfloat16:
         xw = xw.astype(jnp.float32)
     acc = None
@@ -83,11 +86,12 @@ def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets, col_offsets, 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("row_offsets", "col_offsets", "block_rows")
+    jax.jit,
+    static_argnames=("row_offsets", "col_offsets", "block_rows", "alias_x"),
 )
 def stencil2d_matvec(
     coeffs, x, row_offsets, col_offsets, block_rows=None,
-    top_halo=None, bot_halo=None,
+    top_halo=None, bot_halo=None, alias_x=False,
 ):
     """``y[i,j] = sum_d coeffs[d,i,j] * x[i+row_offsets[d], j+col_offsets[d]]``.
 
@@ -130,8 +134,10 @@ def stencil2d_matvec(
         tops = jnp.concatenate([top0, xr[:-1, tm - h :]], axis=0)
         bots = jnp.concatenate([xr[1:, :h], botN], axis=0)
     else:
-        tops = jnp.zeros((nb, 0, ny), x.dtype)
-        bots = jnp.zeros((nb, 0, ny), x.dtype)
+        # dummy 1-row planes: zero-size arrays break Mosaic's layout check;
+        # the kernels ignore these refs when h == 0
+        tops = jnp.zeros((nb, 1, ny), x.dtype)
+        bots = jnp.zeros((nb, 1, ny), x.dtype)
 
     kern = functools.partial(
         _kernel, row_offsets=row_offsets, col_offsets=col_offsets, h=h, tm=tm
@@ -145,16 +151,19 @@ def stencil2d_matvec(
             ),
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((M, ny), jnp.result_type(coeffs, x)),
+        # y may reuse x's buffer: blocks read only their own rows (halo rows
+        # come from the pre-gathered planes); ~2x HBM rate when x is dead
+        input_output_aliases={1: 0} if alias_x else {},
     )(coeffs, x, tops, bots)
 
 
@@ -192,40 +201,59 @@ def supports(dtype, M, ny, row_offsets):
 # constraint 0 <= j + dc < ny is applied on the lane dimension.
 
 
-def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny):
-    xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
+def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny, masked):
+    if h > 0:
+        xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
+    else:
+        xw = x_ref[...]
     if xw.dtype == jnp.bfloat16:
         # no bf16 lane rotate in Mosaic; f32 accumulation, cast on store
         xw = xw.astype(jnp.float32)
-    gi0 = pl.program_id(0) * tm
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + gi0
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, ny), 1)
+    if masked:
+        gi0 = pl.program_id(0) * tm
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + gi0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, ny), 1)
     acc = None
     for dr, dc, w, row_constraints in bands:
         seg = xw[h + dr : h + dr + tm]
         if dc:
             seg = pltpu.roll(seg, (-dc) % ny, axis=1)
         mask = None
-        for stride, size, step in row_constraints:
-            c = jax.lax.rem(
-                jax.lax.div(rows, jnp.int32(stride)), jnp.int32(size)
-            )
-            m = (c + step >= 0) & (c + step < size)
-            mask = m if mask is None else mask & m
-        if dc:
-            mc = (cols + dc >= 0) & (cols + dc < ny)
-            mask = mc if mask is None else mask & mc
+        if masked:
+            for stride, size, step in row_constraints:
+                c = jax.lax.rem(
+                    jax.lax.div(rows, jnp.int32(stride)), jnp.int32(size)
+                )
+                m = (c + step >= 0) & (c + step < size)
+                mask = m if mask is None else mask & m
+            if dc:
+                mc = (cols + dc >= 0) & (cols + dc < ny)
+                mask = mc if mask is None else mask & mc
         term = w * seg if mask is None else jnp.where(mask, w * seg, 0)
         acc = term if acc is None else acc + term
     y_ref[...] = acc.astype(y_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bands", "block_rows"))
-def const_stencil2d_matvec(x, bands, block_rows=None):
+@functools.partial(
+    jax.jit, static_argnames=("bands", "block_rows", "masked", "alias_x")
+)
+def const_stencil2d_matvec(x, bands, block_rows=None, masked=True,
+                           alias_x=False):
     """Constant-coefficient stencil matvec on the collapsed (M, ny) grid.
 
     ``bands``: static tuple of (dr, dc, weight, row_constraints) — see the
     comment above.  Only x and y touch HBM.
+
+    ``masked=False`` skips ALL in-kernel boundary masking; callers must
+    then fix the wrapped boundary contributions outside (see
+    ConstStencilOperator._apply_grid: O(N/ny) corrections).
+
+    ``alias_x=True`` writes y into x's buffer (``input_output_aliases``):
+    a fresh-output pallas_call runs at half the aliased HBM rate on v5e
+    (measured 327 vs 646 GB/s), so chained applications where x is dead
+    afterwards should alias.  Safe with this kernel because each block
+    reads only its own rows (halo rows come from the separate pre-gathered
+    plane arrays); XLA copies x first if it is still live.
     """
     M, ny = x.shape
     row_offsets = tuple(b[0] for b in bands)
@@ -247,26 +275,31 @@ def const_stencil2d_matvec(x, bands, block_rows=None):
         tops = jnp.concatenate([zero, xr[:-1, tm - h :]], axis=0)
         bots = jnp.concatenate([xr[1:, :h], zero], axis=0)
     else:
-        tops = jnp.zeros((nb, 0, ny), x.dtype)
-        bots = jnp.zeros((nb, 0, ny), x.dtype)
+        # dummy 1-row planes: zero-size arrays break Mosaic's layout check;
+        # the kernels ignore these refs when h == 0
+        tops = jnp.zeros((nb, 1, ny), x.dtype)
+        bots = jnp.zeros((nb, 1, ny), x.dtype)
 
-    kern = functools.partial(_const_kernel, bands=bands, h=h, tm=tm, ny=ny)
+    kern = functools.partial(
+        _const_kernel, bands=bands, h=h, tm=tm, ny=ny, masked=masked
+    )
     return pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((M, ny), x.dtype),
+        input_output_aliases={0: 0} if alias_x else {},
     )(x, tops, bots)
 
 
@@ -380,10 +413,10 @@ def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -397,6 +430,9 @@ def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
             jax.ShapeDtypeStruct((M, ny), r.dtype),
             jax.ShapeDtypeStruct((nb, 8, 128), r.dtype),
         ),
+        # pn reuses p's buffer (p is dead after this phase; halo reads come
+        # from the plane arrays) — fresh outputs halve the HBM rate
+        input_output_aliases={2: 0},
     )(om, r, p, rt, rb, pt, pb)
     return pn, ap, jnp.sum(pap)
 
@@ -431,5 +467,7 @@ def cg_fused_phase_b(alpha, y, r, p, ap):
             jax.ShapeDtypeStruct((M, ny), r.dtype),
             jax.ShapeDtypeStruct((nb, 8, 128), r.dtype),
         ),
+        # pure blockwise elementwise phase: yn and rn update in place
+        input_output_aliases={1: 0, 2: 1},
     )(al, y, r, p, ap)
     return yn, rn, jnp.sum(rho)

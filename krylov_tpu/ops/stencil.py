@@ -383,6 +383,13 @@ class ConstStencilOperator:
             )
             bands.append((dr, dc, w, constraints))
         self.bands = tuple(bands)
+        # Pallas paths use zero halo planes at the array edges, so a
+        # constraint on an axis spanning ALL rows is redundant there (the
+        # roll-based XLA fallback wraps rows and still needs it)
+        self.kernel_bands = tuple(
+            (dr, dc, w, tuple(c for c in cons if c[0] * c[1] < M))
+            for dr, dc, w, cons in self.bands
+        )
         self.hermitian = set(
             (tuple(-o for o in off), w) for off, w in zip(self.offsets_nd, self.weights)
         ) == set(zip(self.offsets_nd, self.weights))
@@ -427,13 +434,79 @@ class ConstStencilOperator:
             masks.append(m)
         return masks
 
+    def _maskless_eligible(self):
+        """Bands correctable outside the kernel: at most one constraint
+        type per band, and row constraints aligned with the row shift."""
+        for dr, dc, w, constraints in self.kernel_bands:
+            if len(constraints) > 1 or (constraints and dc):
+                return False
+            if constraints:
+                stride, size, step = constraints[0]
+                if dr != step * stride:
+                    return False
+        return True
+
+    def _boundary_corrections(self, y, x2):
+        """Subtract the wrapped contributions a maskless kernel added.
+
+        Column wraps touch |dc| edge lanes; row-constraint wraps touch
+        ``|step| * stride`` rows per ``stride * size`` period — both
+        O(N / grid-dim) traffic.
+        """
+        M, ny = self.grid
+        for dr, dc, w, constraints in self.kernel_bands:
+            if dc:
+                # lane j >= ny-dc (dc>0) read x[r+dr, j+dc-ny]; remove
+                k = abs(dc)
+                src_cols = x2[:, :k] if dc > 0 else x2[:, ny - k :]
+                # row shift by dr with zero padding (thin (M, k) array)
+                if dr > 0:
+                    src_cols = jnp.pad(src_cols[dr:], ((0, dr), (0, 0)))
+                elif dr < 0:
+                    src_cols = jnp.pad(src_cols[:dr], ((-dr, 0), (0, 0)))
+                if dc > 0:
+                    y = y.at[:, ny - k :].add(-w * src_cols)
+                else:
+                    y = y.at[:, :k].add(-w * src_cols)
+            elif constraints:
+                stride, size, step = constraints[0]
+                period = stride * size
+                P = M // period
+                y4 = y.reshape(P, size, stride, ny)
+                x4 = x2.reshape(P, size, stride, ny)
+                s = abs(step)
+                if step > 0:
+                    # rows with coord >= size-step read the next period's
+                    # first slabs (zero beyond the array)
+                    src = jnp.concatenate(
+                        [x4[1:, :s], jnp.zeros((1, s, stride, ny), x2.dtype)],
+                        axis=0,
+                    )
+                    y4 = y4.at[:, size - s :].add(-w * src)
+                else:
+                    src = jnp.concatenate(
+                        [jnp.zeros((1, s, stride, ny), x2.dtype),
+                         x4[:-1, size - s :]],
+                        axis=0,
+                    )
+                    y4 = y4.at[:, :s].add(-w * src)
+                y = y4.reshape(M, ny)
+        return y
+
     def _apply_grid(self, x2):
         from . import pallas_stencil
 
         M, ny = self.grid
         row_offsets = tuple(b[0] for b in self.bands)
         if pallas_stencil.supports(x2.dtype, M, ny, row_offsets):
-            return pallas_stencil.const_stencil2d_matvec(x2, self.bands)
+            if self._maskless_eligible():
+                # maskless kernel + O(N/dim) boundary fixes: the in-kernel
+                # per-band selects are VPU-bound at streaming sizes
+                y = pallas_stencil.const_stencil2d_matvec(
+                    x2, self.kernel_bands, masked=False
+                )
+                return self._boundary_corrections(y, x2)
+            return pallas_stencil.const_stencil2d_matvec(x2, self.kernel_bands)
         # XLA fallback: roll (wrap) + boundary mask per band
         y = None
         masks = self._masks_2d(x2.dtype)
