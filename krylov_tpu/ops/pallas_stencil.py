@@ -201,7 +201,7 @@ def supports(dtype, M, ny, row_offsets):
 # constraint 0 <= j + dc < ny is applied on the lane dimension.
 
 
-def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny, masked):
+def _const_kernel(r0_ref, x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny, masked):
     if h > 0:
         xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
     else:
@@ -210,7 +210,9 @@ def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny, masked):
         # no bf16 lane rotate in Mosaic; f32 accumulation, cast on store
         xw = xw.astype(jnp.float32)
     if masked:
-        gi0 = pl.program_id(0) * tm
+        # r0 = this shard's first global row (0 on a single chip): the
+        # row-coordinate boundary masks are defined on GLOBAL indices
+        gi0 = pl.program_id(0) * tm + r0_ref[0, 0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + gi0
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, ny), 1)
     acc = None
@@ -238,7 +240,8 @@ def _const_kernel(x_ref, top_ref, bot_ref, y_ref, *, bands, h, tm, ny, masked):
     jax.jit, static_argnames=("bands", "block_rows", "masked", "alias_x")
 )
 def const_stencil2d_matvec(x, bands, block_rows=None, masked=True,
-                           alias_x=False):
+                           alias_x=False, row0=None, top_halo=None,
+                           bot_halo=None):
     """Constant-coefficient stencil matvec on the collapsed (M, ny) grid.
 
     ``bands``: static tuple of (dr, dc, weight, row_constraints) — see the
@@ -271,15 +274,27 @@ def const_stencil2d_matvec(x, bands, block_rows=None, masked=True,
 
     if h > 0:
         xr = x.reshape(nb, tm, ny)
-        zero = jnp.zeros((1, h, ny), x.dtype)
-        tops = jnp.concatenate([zero, xr[:-1, tm - h :]], axis=0)
-        bots = jnp.concatenate([xr[1:, :h], zero], axis=0)
+        top0 = (
+            jnp.zeros((1, h, ny), x.dtype)
+            if top_halo is None
+            else top_halo.astype(x.dtype)[None]
+        )
+        botN = (
+            jnp.zeros((1, h, ny), x.dtype)
+            if bot_halo is None
+            else bot_halo.astype(x.dtype)[None]
+        )
+        tops = jnp.concatenate([top0, xr[:-1, tm - h :]], axis=0)
+        bots = jnp.concatenate([xr[1:, :h], botN], axis=0)
     else:
         # dummy 1-row planes: zero-size arrays break Mosaic's layout check;
         # the kernels ignore these refs when h == 0
         tops = jnp.zeros((nb, 1, ny), x.dtype)
         bots = jnp.zeros((nb, 1, ny), x.dtype)
 
+    r0 = jnp.zeros((1, 1), jnp.int32) if row0 is None else (
+        jnp.asarray(row0, jnp.int32).reshape(1, 1)
+    )
     kern = functools.partial(
         _const_kernel, bands=bands, h=h, tm=tm, ny=ny, masked=masked
     )
@@ -287,6 +302,7 @@ def const_stencil2d_matvec(x, bands, block_rows=None, masked=True,
         kern,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -299,8 +315,8 @@ def const_stencil2d_matvec(x, bands, block_rows=None, masked=True,
             (tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((M, ny), x.dtype),
-        input_output_aliases={0: 0} if alias_x else {},
-    )(x, tops, bots)
+        input_output_aliases={1: 0} if alias_x else {},
+    )(r0, x, tops, bots)
 
 
 # ---------------------------------------------------------------------------

@@ -493,25 +493,63 @@ class ConstStencilOperator:
                 y = y4.reshape(M, ny)
         return y
 
-    def _apply_grid(self, x2):
+    def _apply_grid(self, x2, row0=None, top_halo=None, bot_halo=None):
+        """Matvec on the (M_local, ny) grid view.
+
+        ``row0``/``top_halo``/``bot_halo`` support the row-partitioned
+        distributed operator: ``row0`` is this shard's first global row
+        (the boundary masks are defined on global coordinates) and the
+        halos are the neighbor shards' boundary rows.
+        """
         from . import pallas_stencil
 
-        M, ny = self.grid
+        M, ny = x2.shape
         row_offsets = tuple(b[0] for b in self.bands)
+        sharded = row0 is not None
         if pallas_stencil.supports(x2.dtype, M, ny, row_offsets):
-            if self._maskless_eligible():
-                # maskless kernel + O(N/dim) boundary fixes: the in-kernel
-                # per-band selects are VPU-bound at streaming sizes
+            if not sharded and self._maskless_eligible():
+                # maskless kernel + O(N/dim) boundary fixes: skips the
+                # per-band in-kernel selects entirely
                 y = pallas_stencil.const_stencil2d_matvec(
                     x2, self.kernel_bands, masked=False
                 )
                 return self._boundary_corrections(y, x2)
-            return pallas_stencil.const_stencil2d_matvec(x2, self.kernel_bands)
-        # XLA fallback: roll (wrap) + boundary mask per band
+            return pallas_stencil.const_stencil2d_matvec(
+                x2, self.kernel_bands if not sharded else self.bands,
+                row0=row0, top_halo=top_halo, bot_halo=bot_halo,
+            )
+        # XLA fallback: halo-extended window + slices + boundary masks
+        h = max(
+            (max(0, -min(row_offsets)), max(0, max(row_offsets)), 1)
+        )
+        top = (
+            jnp.zeros((h, ny), x2.dtype) if top_halo is None
+            else top_halo.astype(x2.dtype)
+        )
+        bot = (
+            jnp.zeros((h, ny), x2.dtype) if bot_halo is None
+            else bot_halo.astype(x2.dtype)
+        )
+        x_ext = jnp.concatenate([top, x2, bot], axis=0)
+        r0 = 0 if row0 is None else row0
+        rows = jnp.arange(M, dtype=jnp.int32)[:, None] + jnp.asarray(
+            r0, jnp.int32
+        )
+        cols = jnp.arange(ny, dtype=jnp.int32)[None, :]
         y = None
-        masks = self._masks_2d(x2.dtype)
-        for (dr, dc, w, _), m in zip(self.bands, masks):
-            seg = jnp.roll(x2, (-dr, -dc), axis=(0, 1))
+        for dr, dc, w, constraints in self.bands:
+            seg = jax.lax.slice_in_dim(x_ext, h + dr, h + dr + M, axis=0)
+            if dc:
+                # lane shift with wrap (mask below kills the wrap)
+                seg = jnp.roll(seg, -dc, axis=1)
+            m = None
+            for stride, size, step in constraints:
+                c = (rows // stride) % size
+                mm = (c + step >= 0) & (c + step < size)
+                m = mm if m is None else m & mm
+            if dc:
+                mc = (cols + dc >= 0) & (cols + dc < ny)
+                m = mc if m is None else m & mc
             term = w * seg
             if m is not None:
                 term = jnp.where(m, term, 0)

@@ -15,7 +15,7 @@ a single-process NumPy program — SURVEY.md §2.3):
 from . import multihost
 from .banded import ShardedBandedOperator
 from .csr import ShardedCSROperator, partition_csr
-from .grid import ShardedGridStencilOperator
+from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import RHS, ROWS, make_mesh, psum_inner
 from .solve import sharded_solve
 
@@ -26,6 +26,7 @@ __all__ = [
     "RHS",
     "ShardedBandedOperator",
     "ShardedCSROperator",
+    "ShardedConstStencilOperator",
     "ShardedGridStencilOperator",
     "partition_csr",
     "sharded_solve",

@@ -117,3 +117,79 @@ class ShardedGridStencilOperator:
     def tree_unflatten(cls, aux, children):
         offsets, ny, axis, hermitian = aux
         return cls(children[0], offsets, ny, axis=axis, hermitian=hermitian)
+
+
+@register_pytree_node_class
+class ShardedConstStencilOperator:
+    """Local grid-row slab of a :class:`ConstStencilOperator` (inside
+    shard_map).
+
+    No arrays at all: the operator is static weights + the shard's global
+    row offset (``axis_index * M_local``, computed per call).  Halo rows
+    travel by ``ppermute`` exactly like the variable-coefficient grid
+    operator; the in-kernel Dirichlet masks use global row coordinates.
+    """
+
+    def __init__(self, op, m_local, axis=ROWS):
+        # op: the GLOBAL ConstStencilOperator (weights/bands are static)
+        self._op = op
+        self.m_local = int(m_local)
+        self.axis = axis
+
+    @property
+    def dtype(self):
+        return self._op.dtype
+
+    @property
+    def grid(self):
+        return (self.m_local, self._op.ny)
+
+    vector_shape = grid
+
+    @property
+    def hermitian(self):
+        return self._op.hermitian
+
+    @property
+    def shape(self):
+        n_local = self.m_local * self._op.ny
+        return (n_local, n_local)
+
+    @property
+    def halo_rows(self):
+        ro = tuple(b[0] for b in self._op.bands)
+        return max((max(0, -min(ro)), max(0, max(ro)), 1))
+
+    def __matmul__(self, x2):
+        h = self.halo_rows
+        if h > x2.shape[0]:
+            raise ValueError(
+                f"halo {h} grid rows exceeds local rows {x2.shape[0]}"
+            )
+        n_ax = lax.axis_size(self.axis)
+        top = lax.ppermute(x2[-h:], self.axis, _identity_perm_shift(n_ax, +1))
+        bot = lax.ppermute(x2[:h], self.axis, _identity_perm_shift(n_ax, -1))
+        row0 = lax.axis_index(self.axis) * self.m_local
+        return self._op._apply_grid(x2, row0=row0, top_halo=top, bot_halo=bot)
+
+    matvec = __matmul__
+
+    def rmatvec(self, x2):
+        if self.hermitian:
+            return self @ x2
+        raise NotImplementedError(
+            "sharded const-stencil adjoint: only hermitian operators are "
+            "supported (CG/MINRES/GMRES need no rmatvec)"
+        )
+
+    def diagonal(self):
+        d = self._op.diagonal()[0]  # constant diagonal weight
+        return jnp.full(self.grid, d, self.dtype)
+
+    def tree_flatten(self):
+        return (), (self._op, self.m_local, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op, m_local, axis = aux
+        return cls(op, m_local, axis=axis)

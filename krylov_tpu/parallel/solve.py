@@ -22,10 +22,10 @@ from jax.sharding import PartitionSpec as P
 
 from .._info import Info
 from ..ops.sparse import CSROperator
-from ..ops.stencil import BandedOperator, GridStencilOperator
+from ..ops.stencil import BandedOperator, ConstStencilOperator, GridStencilOperator
 from .banded import ShardedBandedOperator
 from .csr import ShardedCSROperator, partition_csr
-from .grid import ShardedGridStencilOperator
+from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import ROWS, RHS, make_mesh, psum_inner
 
 
@@ -66,10 +66,10 @@ def sharded_solve(
 
     b = jnp.asarray(b)
 
-    # grid-stencil fast path: 2-D layout end-to-end, Pallas kernel locally,
-    # halo exchange in grid rows (single RHS; multi-RHS uses the flat path)
+    # grid-stencil fast paths: 2-D layout end-to-end, Pallas kernel
+    # locally, halo exchange in grid rows (single RHS only)
     if (
-        isinstance(A, GridStencilOperator)
+        isinstance(A, (GridStencilOperator, ConstStencilOperator))
         and not shard_rhs
         and (b.ndim == 1 or b.shape == A.grid)
     ):
@@ -191,12 +191,18 @@ def _sharded_solve_grid(
     )
     Md_spec = P() if M_diag is None else P(ROWS, None)
 
-    offsets, ny_, herm = A.offsets, A.ny, A.hermitian
+    is_const = isinstance(A, ConstStencilOperator)
+    if not is_const:
+        offsets, ny_, herm = A.offsets, A.ny, A.hermitian
+    m_local = Mg // n_rows
 
     def local_solve(b_l, x0_l, Md_l, coeffs_l):
-        A_op = ShardedGridStencilOperator(
-            coeffs_l, offsets, ny_, axis=ROWS, hermitian=herm
-        )
+        if is_const:
+            A_op = ShardedConstStencilOperator(A, m_local, axis=ROWS)
+        else:
+            A_op = ShardedGridStencilOperator(
+                coeffs_l, offsets, ny_, axis=ROWS, hermitian=herm
+            )
 
         def inner(u, v):
             return lax.psum(jnp.sum(jnp.conj(u) * v), ROWS)
@@ -217,14 +223,18 @@ def _sharded_solve_grid(
             info.resnorms,
         )
 
+    coeff_arr = (
+        jnp.zeros((1, 1, 1), b2.dtype) if is_const else A.coeffs2d
+    )
+    coeff_spec = P() if is_const else P(None, ROWS, None)
     fn = shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(P(ROWS, None), P(ROWS, None), Md_spec, P(None, ROWS, None)),
+        in_specs=(P(ROWS, None), P(ROWS, None), Md_spec, coeff_spec),
         out_specs=(P(ROWS, None), P(), P(), P()),
         check_vma=False,
     )
-    xk, success, numsteps, buf = jax.jit(fn)(b2, x02, Md2, A.coeffs2d)
+    xk, success, numsteps, buf = jax.jit(fn)(b2, x02, Md2, coeff_arr)
 
     numsteps = int(np.max(np.asarray(numsteps)))
     success = bool(np.all(np.asarray(success)))

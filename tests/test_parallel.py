@@ -289,3 +289,42 @@ def test_sharded_solve_grid_jacobi_preconditioned():
     assert info.success
     r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
     assert np.linalg.norm(r) <= 1e-9 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_sharded_const_stencil_matvec_and_solve():
+    A = stencil.poisson_2d_const(16, 16, dtype=np.float64)
+    rng = np.random.default_rng(30)
+    x2 = jnp.asarray(rng.standard_normal((16, 16)))
+    want = A @ x2
+
+    mesh = _mesh()
+    P = jax.sharding.PartitionSpec
+    fn = jax.shard_map(
+        lambda v: parallel.ShardedConstStencilOperator(A, 2) @ v,
+        mesh=mesh,
+        in_specs=(P("rows", None),),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )
+    got = fn(x2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
+
+    b = jnp.asarray(rng.standard_normal(256))
+    sol_ref, info_ref = krylov_tpu.cg(A, b, tol=1e-10, maxiter=300)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=mesh, tol=1e-10, maxiter=300
+    )
+    assert info.success
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
+
+
+def test_sharded_const_stencil_3d():
+    A = stencil.poisson_3d_const(8, 4, 16, dtype=np.float64)  # M=32, ny=16
+    rng = np.random.default_rng(31)
+    b = jnp.asarray(rng.standard_normal(512))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(), tol=1e-10, maxiter=600
+    )
+    assert info.success
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-9 * (1 + np.linalg.norm(np.asarray(b)))
