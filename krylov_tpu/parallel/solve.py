@@ -66,6 +66,16 @@ def sharded_solve(
 
     b = jnp.asarray(b)
 
+    # restarts (GMRES(m)) are a host-level outer loop: run one compiled
+    # sharded solve per cycle, warm-starting from the previous iterate
+    restart = solver_kwargs.pop("restart", None)
+    if restart is not None:
+        return _sharded_restarted(
+            solver, A, b, restart=restart, mesh=mesh, shard_rhs=shard_rhs,
+            x0=x0, M_diag=M_diag, tol=tol, atol=atol, maxiter=maxiter,
+            **solver_kwargs,
+        )
+
     # grid-stencil fast paths: 2-D layout end-to-end, Pallas kernel
     # locally, halo exchange in grid rows (single RHS only)
     if (
@@ -251,3 +261,43 @@ def _local_banded(coeffs, *, offsets, hermitian):
 
 def _local_csr(data, col, row, *, n_local, halo, mode):
     return ShardedCSROperator(data[0], col[0], row[0], n_local, halo, mode, axis=ROWS)
+
+
+def _sharded_restarted(
+    solver, A, b, *, restart, mesh, shard_rhs, x0, M_diag, tol, atol,
+    maxiter, **solver_kwargs,
+):
+    """Restarted sharded solve: one compiled cycle per outer iteration.
+
+    Convergence is judged against the initial residual's criterion across
+    cycles (same contract as the single-chip gmres(restart=m))."""
+    N = b.shape[0] if b.ndim == 1 else int(np.prod(b.shape))
+    total_max = N if maxiter is None else maxiter
+    m = min(restart, total_max)
+
+    x = x0
+    resnorms = None
+    criterion = None
+    numsteps = 0
+    success = False
+    while True:
+        cycle_max = min(m, total_max - numsteps)
+        kw = dict(
+            mesh=mesh, shard_rhs=shard_rhs, x0=x, M_diag=M_diag,
+            maxiter=cycle_max, **solver_kwargs,
+        )
+        if criterion is None:
+            sol, info = sharded_solve(solver, A, b, tol=tol, atol=atol, **kw)
+            criterion = max(tol * float(np.max(info.resnorms[0])), atol)
+            resnorms = np.asarray(info.resnorms)
+        else:
+            sol, info = sharded_solve(solver, A, b, tol=0.0, atol=criterion, **kw)
+            resnorms = np.concatenate([resnorms, np.asarray(info.resnorms)[1:]])
+        numsteps += info.numsteps
+        x = info.xk
+        success = bool(info.success)
+        if success or numsteps >= total_max or info.numsteps == 0:
+            break
+
+    info = Info(success, x, numsteps, resnorms, None, None)
+    return (x if success else None), info

@@ -328,3 +328,18 @@ def test_sharded_const_stencil_3d():
     assert info.success
     r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
     assert np.linalg.norm(r) <= 1e-9 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_sharded_gmres_restarted():
+    A = stencil.poisson_2d(16, 16)
+    rng = np.random.default_rng(32)
+    b = jnp.asarray(rng.standard_normal(256))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.gmres, A, b, mesh=_mesh(), restart=20, tol=1e-8,
+        maxiter=400,
+    )
+    assert info.success
+    assert info.numsteps > 20  # actually restarted
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+    assert info.resnorms.shape == (info.numsteps + 1,)
