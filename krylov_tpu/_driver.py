@@ -25,7 +25,7 @@ Solver-specific state is an arbitrary pytree carrying at least ``resnorm``;
 solvers with a mid-iteration exit (BiCGSTAB) also carry ``early_success``.
 """
 
-from functools import partial
+
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

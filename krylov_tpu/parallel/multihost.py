@@ -24,9 +24,6 @@ identical global arrays to :func:`sharded_solve` (it shards them itself via
 """
 
 import jax
-import numpy as np
-
-from .mesh import RHS, ROWS
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):

@@ -3,7 +3,7 @@
 Capability parity with the reference (reference: src/krylov/cgne.py:17-41).
 """
 
-import numpy as np
+
 from jax.tree_util import register_pytree_node_class
 
 from .._info import Info

@@ -106,6 +106,11 @@ def _diagonal(A):
 
 
 def _bcast(d, r):
+    if d.size == r.size:
+        # operator-native vector shapes (e.g. grid-shaped (M, ny)): the
+        # diagonal aligns elementwise with the residual
+        return d.reshape(r.shape)
+    # flat multi-RHS: diagonal broadcasts over trailing RHS columns
     return d.reshape((-1,) + (1,) * (r.ndim - 1))
 
 

@@ -343,3 +343,24 @@ def test_sharded_gmres_restarted():
     r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
     assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
     assert info.resnorms.shape == (info.numsteps + 1,)
+
+
+def test_sharded_chebyshev_and_jacobi():
+    # solver-specific kwargs flow through sharded_solve
+    A = stencil.poisson_2d(8, 16)
+    rng = np.random.default_rng(33)
+    b = jnp.asarray(rng.standard_normal(128))
+    # eigenvalues of the 2-D Dirichlet Laplacian lie in (0, 8)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.chebyshev, A, b, mesh=_mesh(),
+        eigenvalue_estimates=(0.05, 7.95), tol=1e-6, maxiter=2000,
+    )
+    assert info.success
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-5 * (1 + np.linalg.norm(np.asarray(b)))
+
+    sol_j, info_j = parallel.sharded_solve(
+        krylov_tpu.jacobi, A, b, mesh=_mesh(), omega=0.9, tol=1e-6,
+        maxiter=3000,
+    )
+    assert info_j.success
