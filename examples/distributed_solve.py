@@ -1,0 +1,46 @@
+"""Row-partitioned solve over all available devices.
+
+Single-host (virtual devices work too):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python examples/distributed_solve.py
+
+Multi-host: call krylov_tpu.parallel.multihost.initialize() first on every
+host (see that module's docstring).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import krylov_tpu as krylov
+from krylov_tpu import parallel
+from krylov_tpu.ops import stencil
+
+
+def main():
+    n_dev = jax.device_count()
+    ny = 128
+    nx = 16 * n_dev  # rows divide evenly over the mesh
+    A = stencil.poisson_2d(nx, ny, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(nx * ny), jnp.float32)
+
+    mesh = parallel.make_mesh()
+    M_diag = 1.0 / np.asarray(A.diagonal())  # Jacobi preconditioner
+
+    sol, info = parallel.sharded_solve(
+        krylov.cg, A, b, mesh=mesh, M_diag=M_diag, tol=1e-5, maxiter=4000
+    )
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(info.xk))
+    print(f"devices={n_dev} success={info.success} iters={info.numsteps} "
+          f"relres={np.linalg.norm(r)/np.linalg.norm(np.asarray(b)):.2e}")
+
+
+if __name__ == "__main__":
+    main()
