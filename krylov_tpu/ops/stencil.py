@@ -248,8 +248,12 @@ class GridStencilOperator(BandedOperator):
         M, ny = self.grid
         if x.ndim == 2 and x.shape == (M, ny):
             return self._apply_grid(x)  # grid-shaped vector: no relayout
+        if x.ndim == 2:
+            # multi-RHS (N, k): vmap the grid kernel over columns
+            xb = x.T.reshape(x.shape[1], M, ny)
+            yb = jax.vmap(self._apply_grid)(xb)
+            return yb.reshape(x.shape[1], M * ny).T
         if x.ndim != 1:
-            # multi-RHS (N, k): generic banded path for now
             return BandedOperator.__matmul__(self, x)
         return self._apply_grid(x.reshape(M, ny)).reshape(x.shape)
 
@@ -560,11 +564,13 @@ class ConstStencilOperator:
         M, ny = self.grid
         if x.ndim == 2 and x.shape == (M, ny):
             return self._apply_grid(x)
+        if x.ndim == 2:
+            # multi-RHS (N, k): vmap the grid kernel over columns
+            xb = x.T.reshape(x.shape[1], M, ny)
+            yb = jax.vmap(self._apply_grid)(xb)
+            return yb.reshape(x.shape[1], M * ny).T
         if x.ndim != 1:
-            # multi-RHS (N, k): vmap the grid path over columns
-            cols = [self._apply_grid(x[:, k].reshape(M, ny)).reshape(-1)
-                    for k in range(x.shape[1])]
-            return jnp.stack(cols, axis=1)
+            raise ValueError(f"unsupported vector shape {x.shape}")
         return self._apply_grid(x.reshape(M, ny)).reshape(x.shape)
 
     matvec = __matmul__
