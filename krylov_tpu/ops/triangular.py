@@ -34,3 +34,110 @@ def multi_solve_triangular(A, B, lower=False):
     )(a_safe, bb)
     sol = jnp.where(zero_col[None, :], jnp.zeros_like(sol), sol)
     return sol.reshape((k,) + tail)
+
+
+def grid_lower_sweep(coeffs2d, row_offsets, col_offsets, b2, omega=1.0):
+    """Forward substitution for the lower triangle of a grid stencil.
+
+    Solves ``(D/omega + L) x = b`` where ``D + L`` is the lower-triangular
+    part of a :class:`~krylov_tpu.ops.stencil.GridStencilOperator` whose
+    within-row coupling is first-order (``col_offsets`` subset of {0, -1} on
+    the ``dr == 0`` bands) — true for all the grid Laplacians here.  This is
+    the scalable TPU substitute for scipy's sequential
+    ``spsolve_triangular`` (SURVEY.md §2.2): a ``lax.scan`` over grid rows
+    (the inherently sequential direction) with the within-row first-order
+    recurrence solved in parallel depth O(log ny) by
+    ``jax.lax.associative_scan``:
+
+        x[j] = a[j] * x[j-1] + c[j],  a = -l/d,  c = rhs/d.
+
+    ``coeffs2d``: (ndiag, M, ny) with matching row/col offsets (upper bands
+    may be present; they are ignored).  Returns x2 of shape (M, ny).
+    """
+    ndiag, M, ny = coeffs2d.shape
+    dtype = jnp.result_type(coeffs2d, b2)
+
+    diag = None
+    sub = None  # within-row (0, -1) band
+    row_bands = []  # (dr < 0, dc, plane)
+    for d in range(ndiag):
+        dr, dc = row_offsets[d], col_offsets[d]
+        if dr == 0 and dc == 0:
+            diag = coeffs2d[d]
+        elif dr == 0 and dc == -1:
+            sub = coeffs2d[d]
+        elif dr == 0 and dc < -1:
+            raise NotImplementedError(
+                "grid_lower_sweep supports within-row coupling of order 1"
+            )
+        elif dr < 0:
+            row_bands.append((dr, dc, coeffs2d[d]))
+        # dr > 0 or dc > 0: upper triangle, ignored
+
+    if diag is None:
+        raise ValueError("stencil has no diagonal band")
+    diag = diag / omega
+    h = max((-dr for dr, _, _ in row_bands), default=1)
+
+    def assoc(e1, e2):
+        a1, c1 = e1
+        a2, c2 = e2
+        return a2 * a1, a2 * c1 + c2
+
+    def row_solve(rhs_row, d_row, s_row):
+        # x[j] = (rhs[j] - s[j] x[j-1]) / d[j] via parallel prefix
+        a = jnp.where(d_row != 0, -s_row / jnp.where(d_row != 0, d_row, 1.0), 0.0)
+        c = rhs_row / jnp.where(d_row != 0, d_row, 1.0)
+        a = a.at[0].set(0.0)
+        aa, cc = jax.lax.associative_scan(assoc, (a, c))
+        return cc
+
+    def step(carry, inputs):
+        # carry: (h, ny) buffer of the previous h solved rows (carry[-1] is
+        # row i-1)
+        b_row, d_row, s_row, bands_rows = inputs
+        rhs = b_row
+        for k, (dr, dc, _) in enumerate(row_bands):
+            prev = carry[h + dr]  # row i + dr
+            if dc:
+                # shift within the row; out-of-range killed by zero coeffs
+                prev = jnp.roll(prev, -dc)
+            rhs = rhs - bands_rows[k] * prev
+        x_row = row_solve(rhs, d_row, s_row)
+        new_carry = jnp.concatenate([carry[1:], x_row[None]], axis=0)
+        return new_carry, x_row
+
+    sub_arr = (
+        jnp.zeros((M, ny), dtype) if sub is None else sub.astype(dtype)
+    )
+    bands_stack = (
+        jnp.stack([p for _, _, p in row_bands], axis=0).astype(dtype)
+        if row_bands
+        else jnp.zeros((0, M, ny), dtype)
+    )
+    carry0 = jnp.zeros((h, ny), dtype)
+    _, x2 = jax.lax.scan(
+        step,
+        carry0,
+        (
+            b2.astype(dtype),
+            diag.astype(dtype),
+            sub_arr,
+            jnp.moveaxis(bands_stack, 1, 0),  # (M, nbands, ny)
+        ),
+    )
+    return x2
+
+
+def grid_upper_sweep(coeffs2d, row_offsets, col_offsets, b2, omega=1.0):
+    """Backward substitution for the upper triangle of a grid stencil.
+
+    Reversing both grid axes maps the upper triangle onto a lower one
+    (band ``(dr, dc)`` becomes ``(-dr, -dc)`` with its coefficient plane
+    flipped), so this reuses :func:`grid_lower_sweep`.
+    """
+    flipped = coeffs2d[:, ::-1, ::-1]
+    ro = tuple(-r for r in row_offsets)
+    co = tuple(-c for c in col_offsets)
+    x2 = grid_lower_sweep(flipped, ro, co, b2[::-1, ::-1], omega=omega)
+    return x2[::-1, ::-1]

@@ -5,14 +5,19 @@ a shared driver iterates ``x += update(r); r = b - A x`` with no explicit
 residual re-check (reference: src/krylov/stationary.py:138-140 — the
 recurrence *is* the explicit residual here).
 
-Triangular sweeps: for a dense matrix, jax's triangular solve reads only the
-requested triangle, exactly like the scipy call the reference makes
-(reference: src/krylov/stationary.py:29-30).  For sparse operators the
-triangle is materialized densely below ``_DENSE_SWEEP_MAX`` rows (small-
-problem parity path).  Above that, GS/SOR/SSOR are meaningful as *smoothers*,
-and the distributed story treats them as such (hybrid block-Jacobi boundaries
-between shards — see krylov_tpu.parallel); a level-scheduled sparse
-triangular kernel is the dedicated path for large single-chip sweeps.
+Triangular sweeps, by operator type:
+
+* dense matrices — jax's triangular solve reads only the requested triangle,
+  exactly like the scipy call the reference makes (reference:
+  src/krylov/stationary.py:29-30);
+* :class:`~krylov_tpu.ops.stencil.GridStencilOperator` — scalable scan
+  sweeps (ops/triangular.py: ``lax.scan`` over grid rows, within-row
+  first-order recurrence via ``associative_scan``), no dense
+  materialization at any size — the TPU substitute for scipy's sequential
+  ``spsolve_triangular``;
+* other sparse operators — materialized densely below ``_DENSE_SWEEP_MAX``
+  rows (small-problem parity path); above that GS/SOR/SSOR are meaningful
+  as *smoothers* (hybrid block-Jacobi boundaries between shards).
 """
 
 from typing import Callable, NamedTuple, Optional
@@ -129,11 +134,47 @@ def jacobi(A, *args, omega: float = 1.0, **kwargs):
     return _stationary(_update, A, *args, **kwargs)
 
 
+def _grid_sweep_update(A, omega_diag, lower):
+    """Triangular-sweep update for GridStencilOperator at any scale.
+
+    Uses the scan/associative-scan sweeps (ops/triangular.py) — the TPU
+    substitute for scipy's sequential spsolve_triangular; works on flat,
+    grid-shaped, and multi-RHS vectors.
+    """
+    from ..ops.triangular import grid_lower_sweep, grid_upper_sweep
+
+    sweep = grid_lower_sweep if lower else grid_upper_sweep
+    M, ny = A.grid
+
+    def update_one(r2):
+        return sweep(
+            A.coeffs2d, A.row_offsets, A.col_offsets, r2, omega=omega_diag
+        )
+
+    def update(r):
+        if r.ndim == 2 and r.shape == (M, ny):
+            return update_one(r)
+        if r.ndim == 2:  # multi-RHS (N, k)
+            rb = r.T.reshape(r.shape[1], M, ny)
+            yb = jnp.stack([update_one(rb[i]) for i in range(r.shape[1])])
+            return yb.reshape(r.shape[1], M * ny).T
+        return update_one(r.reshape(M, ny)).reshape(r.shape)
+
+    return update
+
+
 def gauss_seidel(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
     """x_{k+1} = x_k + omega * tri(A)^{-1} r
 
     (reference: src/krylov/stationary.py:26-40)
     """
+    from ..ops.stencil import GridStencilOperator
+
+    if isinstance(A, GridStencilOperator):
+        base = _grid_sweep_update(A, 1.0, lower)
+        return _stationary(
+            lambda r: omega * base(r), A, *args, **kwargs
+        )
     Ad = _dense_matrix(A)
 
     def tri_solve(y):
@@ -144,6 +185,12 @@ def gauss_seidel(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
 
 def sor(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
     """x_{k+1} = x_k + (D/omega + L)^{-1} r (reference: src/krylov/stationary.py:43-61)."""
+    from ..ops.stencil import GridStencilOperator
+
+    if isinstance(A, GridStencilOperator):
+        return _stationary(
+            _grid_sweep_update(A, omega, lower), A, *args, **kwargs
+        )
     Ad = _dense_matrix(A)
     d_ = jnp.diagonal(Ad) / omega
     A_ = Ad.at[jnp.arange(Ad.shape[0]), jnp.arange(Ad.shape[0])].set(d_)
@@ -160,6 +207,20 @@ def ssor(A, *args, omega: float = 1.0, **kwargs):
     P = omega/(2-omega) * (D/omega + L) D^{-1} (D/omega + U)
     (reference: src/krylov/stationary.py:64-94)
     """
+    from ..ops.stencil import GridStencilOperator
+
+    if isinstance(A, GridStencilOperator):
+        fwd = _grid_sweep_update(A, omega, True)
+        bwd = _grid_sweep_update(A, omega, False)
+        D = _diagonal(A)
+
+        def solve(y):
+            y = fwd(y)
+            y = y * _bcast(D, y)
+            y = bwd(y)
+            return (2 - omega) / omega * y
+
+        return _stationary(solve, A, *args, **kwargs)
     Ad = _dense_matrix(A)
     d = jnp.diagonal(Ad)
     idx = jnp.arange(Ad.shape[0])

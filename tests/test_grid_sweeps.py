@@ -1,0 +1,85 @@
+"""Grid-stencil triangular sweeps: GS/SOR/SSOR at any scale without dense
+materialization (the TPU substitute for scipy's spsolve_triangular —
+SURVEY.md §2.2 native-crossing table)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+import scipy.sparse.linalg
+
+import krylov_tpu
+from krylov_tpu.ops import stencil
+from krylov_tpu.ops.triangular import grid_lower_sweep, grid_upper_sweep
+
+
+def _scipy_csr(A):
+    c = A.tocsr()
+    return scipy.sparse.csr_matrix(
+        (np.asarray(c.data), np.asarray(c.indices), np.asarray(c.indptr)),
+        shape=c.shape,
+    )
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (6, 4, 8)])
+def test_lower_sweep_matches_scipy(shape):
+    A = (stencil.poisson_2d if len(shape) == 2 else stencil.poisson_3d)(*shape)
+    N = int(np.prod(shape))
+    sp = _scipy_csr(A)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(N)
+    L = scipy.sparse.tril(sp, 0).tocsr()
+    want = scipy.sparse.linalg.spsolve_triangular(L, b, lower=True)
+    M, ny = A.grid
+    got = grid_lower_sweep(
+        A.coeffs2d, A.row_offsets, A.col_offsets, jnp.asarray(b).reshape(M, ny)
+    )
+    np.testing.assert_allclose(np.asarray(got).reshape(-1), want, atol=1e-13)
+
+
+def test_upper_sweep_matches_scipy():
+    A = stencil.poisson_2d(8, 16)
+    sp = _scipy_csr(A)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(128)
+    U = scipy.sparse.triu(sp, 0).tocsr()
+    want = scipy.sparse.linalg.spsolve_triangular(U, b, lower=False)
+    got = grid_upper_sweep(
+        A.coeffs2d, A.row_offsets, A.col_offsets, jnp.asarray(b).reshape(8, 16)
+    )
+    np.testing.assert_allclose(np.asarray(got).reshape(-1), want, atol=1e-13)
+
+
+@pytest.mark.parametrize(
+    "solver,kw",
+    [
+        (krylov_tpu.gauss_seidel, {}),
+        (krylov_tpu.gauss_seidel, {"lower": False}),
+        (krylov_tpu.sor, {"omega": 1.4}),
+        (krylov_tpu.ssor, {"omega": 1.2}),
+    ],
+)
+def test_grid_sweep_solvers_match_dense_path(solver, kw):
+    A = stencil.poisson_2d(8, 16)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal(128))
+
+    # dense reference path on the same matrix
+    Ad = np.asarray(A.todense())
+    sol_ref, info_ref = solver(Ad, b, maxiter=20, tol=1e-30, **kw)
+    sol, info = solver(A, b, maxiter=20, tol=1e-30, **kw)
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-10, atol=1e-12
+    )
+
+
+def test_grid_gs_converges_and_multi_rhs():
+    A = stencil.poisson_2d(8, 8)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(64))
+    sol, info = krylov_tpu.gauss_seidel(A, b, tol=1e-8, maxiter=2000)
+    assert info.success
+    B = jnp.asarray(rng.standard_normal((64, 2)))
+    sol2, info2 = krylov_tpu.gauss_seidel(A, B, tol=1e-8, maxiter=2000)
+    assert info2.success
