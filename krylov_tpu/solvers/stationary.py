@@ -134,15 +134,29 @@ def jacobi(A, *args, omega: float = 1.0, **kwargs):
     return _stationary(_update, A, *args, **kwargs)
 
 
+def _is_grid_stencil(A):
+    from ..ops.stencil import GridStencilOperator
+
+    if isinstance(A, GridStencilOperator):
+        return True
+    # row-partitioned shard (parallel.ShardedGridStencilOperator): sweeps
+    # run per-shard with block-Jacobi boundaries — the hybrid smoother
+    # semantics of SURVEY.md §7 (cross-shard lower coupling is dropped,
+    # unlike the exact single-chip sweep)
+    return isinstance(getattr(A, "_local", None), GridStencilOperator)
+
+
 def _grid_sweep_update(A, omega_diag, lower):
     """Triangular-sweep update for GridStencilOperator at any scale.
 
     Uses the scan/associative-scan sweeps (ops/triangular.py) — the TPU
     substitute for scipy's sequential spsolve_triangular; works on flat,
-    grid-shaped, and multi-RHS vectors.
+    grid-shaped, and multi-RHS vectors.  For a row-partitioned shard the
+    sweep is local (block-Jacobi boundaries between shards).
     """
     from ..ops.triangular import grid_lower_sweep, grid_upper_sweep
 
+    A = getattr(A, "_local", A)
     sweep = grid_lower_sweep if lower else grid_upper_sweep
     M, ny = A.grid
 
@@ -168,9 +182,7 @@ def gauss_seidel(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
 
     (reference: src/krylov/stationary.py:26-40)
     """
-    from ..ops.stencil import GridStencilOperator
-
-    if isinstance(A, GridStencilOperator):
+    if _is_grid_stencil(A):
         base = _grid_sweep_update(A, 1.0, lower)
         return _stationary(
             lambda r: omega * base(r), A, *args, **kwargs
@@ -185,9 +197,7 @@ def gauss_seidel(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
 
 def sor(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
     """x_{k+1} = x_k + (D/omega + L)^{-1} r (reference: src/krylov/stationary.py:43-61)."""
-    from ..ops.stencil import GridStencilOperator
-
-    if isinstance(A, GridStencilOperator):
+    if _is_grid_stencil(A):
         return _stationary(
             _grid_sweep_update(A, omega, lower), A, *args, **kwargs
         )
@@ -207,9 +217,7 @@ def ssor(A, *args, omega: float = 1.0, **kwargs):
     P = omega/(2-omega) * (D/omega + L) D^{-1} (D/omega + U)
     (reference: src/krylov/stationary.py:64-94)
     """
-    from ..ops.stencil import GridStencilOperator
-
-    if isinstance(A, GridStencilOperator):
+    if _is_grid_stencil(A):
         fwd = _grid_sweep_update(A, omega, True)
         bwd = _grid_sweep_update(A, omega, False)
         D = _diagonal(A)

@@ -364,3 +364,18 @@ def test_sharded_chebyshev_and_jacobi():
         maxiter=3000,
     )
     assert info_j.success
+
+
+def test_sharded_gauss_seidel_hybrid_smoother():
+    """Sharded GS: per-shard sweeps with block-Jacobi boundaries (the
+    hybrid smoother of SURVEY.md §7) — converges on the SPD grid system,
+    though along a different trajectory than exact single-chip GS."""
+    A = stencil.poisson_2d(16, 16)
+    rng = np.random.default_rng(40)
+    b = jnp.asarray(rng.standard_normal(256))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.gauss_seidel, A, b, mesh=_mesh(), tol=1e-6, maxiter=5000
+    )
+    assert info.success
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-5 * (1 + np.linalg.norm(np.asarray(b)))
