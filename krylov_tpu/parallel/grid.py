@@ -17,6 +17,7 @@ psum inner product (see :func:`krylov_tpu.parallel.solve.sharded_solve`,
 which wires this automatically for GridStencilOperator inputs).
 """
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.tree_util import register_pytree_node_class
@@ -88,9 +89,47 @@ class ShardedGridStencilOperator:
         bot = lax.ppermute(x2[:h], self.axis, _identity_perm_shift(n_ax, -1))
         return top, bot
 
+    def _strip_rows(self, x_win, r0, r1):
+        """y rows [r0, r1) from an x window covering rows [r0-h, r1+h)."""
+        h = self.halo_rows
+        n = r1 - r0
+        c2 = self._local.coeffs2d
+        # column wrap-around values are killed by the zero boundary
+        # coefficients, exactly as in the main kernel
+        y = None
+        for d, (dr, dc) in enumerate(
+            zip(self._local.row_offsets, self._local.col_offsets)
+        ):
+            seg = jax.lax.slice_in_dim(x_win, h + dr, h + dr + n, axis=0)
+            if dc:
+                seg = jnp.roll(seg, -dc, axis=1)
+            term = jax.lax.slice_in_dim(c2[d], r0, r1, axis=0) * seg
+            y = term if y is None else y + term
+        return y
+
     def __matmul__(self, x2):
+        """Halo exchange overlapped with the local SpMV.
+
+        The full-shard kernel runs with ZERO shard-edge halos — it has no
+        data dependency on the ``ppermute``s, so XLA schedules it while the
+        halos are in flight over ICI.  Only the ``h`` boundary rows on each
+        side are then recomputed from the received halos (O(h * ny) work).
+        """
+        h = self.halo_rows
+        M = x2.shape[0]
         top, bot = self.exchange_halo(x2)
-        return self._local._apply_grid(x2, top_halo=top, bot_halo=bot)
+        if 2 * h >= M:
+            # shard too thin to split: dependent path
+            return self._local._apply_grid(x2, top_halo=top, bot_halo=bot)
+
+        y = self._local._apply_grid(x2)  # overlaps with the halo ppermutes
+        # fix rows [0, h): window covers rows [-h, 2h)
+        top_win = jnp.concatenate([top, x2[: 2 * h]], axis=0)
+        y_top = self._strip_rows(top_win, 0, h)
+        # fix rows [M-h, M): window covers rows [M-2h, M+h)
+        bot_win = jnp.concatenate([x2[M - 2 * h :], bot], axis=0)
+        y_bot = self._strip_rows(bot_win, M - h, M)
+        return jnp.concatenate([y_top, y[h : M - h], y_bot], axis=0)
 
     matvec = __matmul__
 

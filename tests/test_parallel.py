@@ -379,3 +379,36 @@ def test_sharded_gauss_seidel_hybrid_smoother():
     assert info.success
     r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
     assert np.linalg.norm(r) <= 1e-5 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_sharded_grid_overlap_path_matches():
+    """Thick shards exercise the overlapped matvec (zero-halo full kernel +
+    boundary-strip fixes); thin shards use the dependent path."""
+    A = stencil.poisson_2d(32, 16)  # grid (32, 16): m_local=8 > 2h over 4 shards
+    rng = np.random.default_rng(41)
+    x2 = jnp.asarray(rng.standard_normal((32, 16)))
+    want = A @ x2
+
+    mesh = parallel.make_mesh(n_rows=4)
+    P = jax.sharding.PartitionSpec
+    fn = jax.shard_map(
+        lambda c, v: parallel.ShardedGridStencilOperator(
+            c, A.offsets, A.ny, hermitian=True
+        )
+        @ v,
+        mesh=mesh,
+        in_specs=(P(None, "rows", None), P("rows", None)),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )
+    got = fn(A.coeffs2d, x2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
+
+    # full sharded solve down the overlapped path
+    b = jnp.asarray(rng.standard_normal(512))
+    sol_ref, _ = krylov_tpu.cg(A, b, tol=1e-10, maxiter=400)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=mesh, tol=1e-10, maxiter=400
+    )
+    assert info.success
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
