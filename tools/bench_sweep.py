@@ -31,26 +31,70 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     kind = getattr(jax.devices()[0], "device_kind", "cpu")
 
-    # the operator is a pytree ARGUMENT, never a closure constant: closed-over
-    # device arrays are baked into the program as literals (and the remote
-    # compile tunnel rejects >100MB request bodies)
+    from krylov_tpu.ops.pallas_stencil import (
+        const_stencil2d_matvec,
+        stencil2d_matvec,
+        supports,
+    )
+
+    # The operator/coefficients are ARGUMENTS, never closure constants
+    # (closed-over device arrays are baked into the program as literals and
+    # overflow the remote-compile tunnel).  Chained applications are dead
+    # after each step, so on TPU the kernels reuse the iterate buffer
+    # (alias_x) — same methodology as bench.py.
+    @partial(jax.jit, static_argnums=(2, 3))
+    def chain_var_k(c2, v, offs, K):
+        ro, co = offs
+        return lax.fori_loop(
+            0, K, lambda i, u: stencil2d_matvec(c2, u, ro, co, alias_x=True), v
+        )
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def chain_const_k(v, bands, K):
+        return lax.fori_loop(
+            0, K,
+            lambda i, u: const_stencil2d_matvec(u, bands, alias_x=True), v,
+        )
+
     @partial(jax.jit, static_argnums=2)
     def chain(op, v, K):
         return lax.fori_loop(0, K, lambda i, u: op @ u, v)
 
-    def timed_chain(op, x, k_lo=8, k_hi=72, reps=3):
+    def _timed(fn, args, k_lo=8, k_hi=72, reps=3):
         def t(K):
-            r = chain(op, x, K)
+            r = fn(*args, K)
             float(jnp.sum(r.astype(jnp.float32)))
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                r = chain(op, x, K)
+                r = fn(*args, K)
                 float(jnp.sum(r.astype(jnp.float32)))
                 best = min(best, time.perf_counter() - t0)
             return best
 
         return (t(k_hi) - t(k_lo)) / (k_hi - k_lo)
+
+    def _ks(x):
+        # small problems run so fast the K-delta drowns in tunnel noise;
+        # widen the spread until the measured work is ~100ms+
+        n = x.size
+        k_hi = 72 if n >= 32 * 1024 * 1024 else 520 if n >= 2**22 else 2056
+        return {"k_lo": 8, "k_hi": k_hi}
+
+    def timed_var(op, x):
+        if supports(x.dtype, *op.grid, op.row_offsets):
+            return _timed(
+                chain_var_k,
+                (op.coeffs2d, x, (op.row_offsets, op.col_offsets)),
+                **_ks(x),
+            )
+        return _timed(chain, (op, x), **_ks(x))
+
+    def timed_const(op, x):
+        ro = tuple(b[0] for b in op.kernel_bands)
+        if supports(x.dtype, *op.grid, ro):
+            return _timed(chain_const_k, (x, op.kernel_bands), **_ks(x))
+        return _timed(chain, (op, x), **_ks(x))
 
     rng = np.random.default_rng(0)
     scale = np.float32(0.06)  # keep chained iterates stable (3-D too)
@@ -82,7 +126,7 @@ def main():
                 Av.coeffs2d * scale, Av.offsets, Av.ny, hermitian=True
             )
             x = jnp.asarray(rng.standard_normal(Avs.grid), jnp.float32)
-            dt = timed_chain(Avs, x)
+            dt = timed_var(Avs, x)
             print(json.dumps({
                 "bench": f"spmv_{dim}_var_f32", "n_rows": N,
                 "us": round(dt * 1e6, 1),
@@ -97,7 +141,7 @@ def main():
             np.float32,
         )
         x = jnp.asarray(rng.standard_normal(Acs.grid), jnp.float32)
-        dt = timed_chain(Acs, x)
+        dt = timed_const(Acs, x)
         print(json.dumps({
             "bench": f"spmv_{dim}_const_f32", "n_rows": N,
             "us": round(dt * 1e6, 1),
@@ -109,7 +153,7 @@ def main():
             shape, Ac.offsets_nd, tuple(scale * w for w in Ac.weights),
             jnp.bfloat16,
         )
-        dt = timed_chain(Ab, x.astype(jnp.bfloat16))
+        dt = timed_const(Ab, x.astype(jnp.bfloat16))
         print(json.dumps({
             "bench": f"spmv_{dim}_const_bf16", "n_rows": N,
             "us": round(dt * 1e6, 1),
