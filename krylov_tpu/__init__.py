@@ -11,7 +11,7 @@ src/krylov/__init__.py:21-49) plus the TPU-native extensions under
 ``krylov_tpu.ops`` and ``krylov_tpu.parallel``.
 """
 
-from . import ops, utils
+from . import diffable, ops, utils
 from .__about__ import __version__
 from ._info import Info
 from ._operators import (
@@ -34,6 +34,7 @@ __all__ = [
     *_solver_names,
     "utils",
     "ops",
+    "diffable",
     "ArnoldiHouseholder",
     "ArnoldiMGS",
     "ArnoldiLanczos",
