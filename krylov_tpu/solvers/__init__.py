@@ -11,6 +11,7 @@ from .gcr import gcr
 from .gmres import gmres
 from .minres import minres
 from .qmr import qmr
+from .refine import refine
 from .stationary import gauss_seidel, jacobi, richardson, sor, ssor
 from .symmlq import symmlq
 
@@ -34,5 +35,6 @@ __all__ = [
     "gmres",
     "minres",
     "qmr",
+    "refine",
     "symmlq",
 ]

@@ -1,0 +1,54 @@
+"""Mixed-precision iterative refinement: working-precision accuracy from
+low-precision inner solves."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import krylov_tpu
+from krylov_tpu.ops import stencil
+
+
+def test_refine_plain_restarts_to_tolerance():
+    A = stencil.poisson_2d(8, 16)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(128))
+    sol, info = krylov_tpu.refine(
+        A, b, inner_tol=1e-1, inner_maxiter=20, tol=1e-10, maxiter=60
+    )
+    assert info.success
+    r = np.asarray(b) - np.asarray(A @ sol)
+    assert np.linalg.norm(r) <= 1e-9 * (1 + np.linalg.norm(np.asarray(b)))
+    # outer history is monotone-ish and reached the criterion
+    assert info.resnorms[-1] <= 1e-10 * info.resnorms[0] + 1e-15
+
+
+def test_refine_low_precision_inner_reaches_f32_accuracy():
+    # f32 working precision, bf16 inner operator: accuracy beyond what a
+    # pure-bf16 solve can reach
+    A32 = stencil.poisson_2d_const(16, 16, dtype=np.float32)
+    A16 = stencil.ConstStencilOperator(
+        (16, 16), A32.offsets_nd, A32.weights, jnp.bfloat16
+    )
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(256), jnp.float32)
+
+    sol, info = krylov_tpu.refine(
+        A32, b, A_low=A16, inner_tol=5e-2, inner_maxiter=60,
+        tol=1e-5, maxiter=60,
+    )
+    assert info.success
+    r = np.asarray(b) - np.asarray(A32 @ sol)
+    rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
+    assert rel <= 2e-5
+
+    # pure bf16 CG stalls far above that
+    b16 = b.astype(jnp.bfloat16)
+    _, info16 = krylov_tpu.cg(
+        A16, b16, inner=lambda u, v: jnp.sum(u * v),
+        tol=1e-5, maxiter=1000, backend="while_loop",
+    )
+    r16 = np.asarray(b, np.float32) - np.asarray(
+        A32 @ jnp.asarray(np.asarray(info16.xk, np.float32))
+    )
+    rel16 = np.linalg.norm(r16) / np.linalg.norm(np.asarray(b))
+    assert rel16 > rel  # refinement beats the pure low-precision solve
