@@ -72,8 +72,11 @@ def solve(
     @partial(jax.custom_vjp, nondiff_argnums=())
     def _solve(params, b):
         A_ = make_op(*params)
-        x, _ = solver(A_, b, **solve_kw)
-        return x
+        # info.xk rather than the sol-or-None first element: outside jit an
+        # unconverged solve returns (None, info) and gradients should degrade
+        # gracefully to the last iterate instead of crashing the custom_vjp.
+        _, info = solver(A_, b, **solve_kw)
+        return info.xk
 
     def _fwd(params, b):
         x = _solve(params, b)
@@ -103,7 +106,8 @@ def solve(
 
             A_adj = _Adj()
 
-        lam, _ = adjoint_solver(A_adj, g, **solve_kw)
+        _, adj_info = adjoint_solver(A_adj, g, **solve_kw)
+        lam = adj_info.xk
 
         # d/dparams: vjp of params -> A(params) @ x at cotangent -lambda
         def apply_params(*p):

@@ -62,13 +62,15 @@ class ShardedBandedOperator:
         hi = max(0, max(self.offsets))
         return lo, hi
 
-    def exchange_halo(self, x):
+    def exchange_halo(self, x, halo=None):
         """Return ``x_ext = [left halo | x | right halo]`` along axis 0.
 
         Two neighbor ``ppermute`` shifts over ICI; edge shards receive zeros
         (Dirichlet).  Requires halo width <= n_local (single-neighbor halos).
+        ``halo`` overrides the matvec-oriented ``self.halo`` widths — the
+        adjoint matvec needs them swapped (see :meth:`rmatvec`).
         """
-        h_lo, h_hi = self.halo
+        h_lo, h_hi = self.halo if halo is None else halo
         n_local = x.shape[0]
         if max(h_lo, h_hi) > n_local:
             raise ValueError(
@@ -109,9 +111,13 @@ class ShardedBandedOperator:
         # A^H in row-aligned banded form has bands at -off with coefficients
         # conj(coeffs[d]) shifted by off rows — the shift crosses shard
         # boundaries, so exchange a coefficient halo alongside the x halo.
-        h_lo, h_hi = self.halo
+        # The x halo widths are the MIRROR of the matvec's: y[i] reads
+        # x[i - off], so the left halo must cover max(offsets) and the right
+        # halo -min(offsets) (matvec uses the opposite pair).
+        h_lo = max(0, max(self.offsets))
+        h_hi = max(0, -min(self.offsets))
         n_local = x.shape[0]
-        x_ext = self.exchange_halo(x)
+        x_ext = self.exchange_halo(x, halo=(h_lo, h_hi))
         y = jnp.zeros(x.shape, jnp.result_type(self.coeffs, x))
         n_ax = lax.axis_size(self.axis)
         for d, off in enumerate(self.offsets):

@@ -288,7 +288,8 @@ def _sharded_restarted(
         )
         if criterion is None:
             sol, info = sharded_solve(solver, A, b, tol=tol, atol=atol, **kw)
-            criterion = max(tol * float(np.max(info.resnorms[0])), atol)
+            # per-RHS-column criterion, matching single-cycle semantics
+            criterion = np.maximum(tol * np.asarray(info.resnorms[0]), atol)
             resnorms = np.asarray(info.resnorms)
         else:
             sol, info = sharded_solve(solver, A, b, tol=0.0, atol=criterion, **kw)

@@ -139,9 +139,10 @@ def _gmres_restarted(
         )
         if criterion is None:
             sol, info = gmres(A, b, tol=tol, atol=atol, **kw)
-            criterion = max(
-                tol * float(np.max(info.resnorms[0])), atol
-            )
+            # per-RHS-column criterion (the driver's atol broadcasts
+            # elementwise, so each column keeps its own tol*resnorm0 bound
+            # across restart cycles)
+            criterion = np.maximum(tol * np.asarray(info.resnorms[0]), atol)
             resnorms = np.asarray(info.resnorms)
         else:
             sol, info = gmres(A, b, tol=0.0, atol=criterion, **kw)

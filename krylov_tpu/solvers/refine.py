@@ -75,9 +75,10 @@ def refine(
         scale = jnp.asarray(resnorms[-1], b.dtype)
         safe = jnp.where(scale != 0, scale, 1.0)
         r_low = (r / safe).astype(low_dtype)
+        inner_kw = dict(solver_kwargs)
+        inner_kw.setdefault("backend", "while_loop")
         _, info = solver(
-            A_low, r_low, tol=inner_tol, maxiter=inner_maxiter,
-            backend="while_loop", **solver_kwargs,
+            A_low, r_low, tol=inner_tol, maxiter=inner_maxiter, **inner_kw
         )
         d = info.xk.astype(b.dtype) * safe
         x = x + d

@@ -57,3 +57,20 @@ def test_restarted_unconverged_returns_none():
     assert sol is None
     assert not info.success
     assert info.numsteps <= 12 + 4  # cycles are 5,5,2-cap
+
+
+def test_restarted_multi_rhs_per_column_criterion():
+    """Restart cycles keep a per-RHS-column convergence criterion: a column
+    whose initial residual is tiny must still converge relative to its own
+    resnorm0, not to the largest column's (round-1 advisor finding)."""
+    A, b0 = _problem(40, 2)
+    # column 1 scaled down 1e6: under a max-collapsed criterion it would be
+    # declared converged almost immediately
+    B = np.stack([b0, 1e-6 * b0[::-1]], axis=1)
+    tol = 1e-8
+    sol, info = krylov_tpu.gmres(A, B, tol=tol, restart=12, maxiter=400)
+    assert info.success
+    R = B - A @ np.asarray(sol)
+    for j in range(B.shape[1]):
+        rel = np.linalg.norm(R[:, j]) / np.linalg.norm(B[:, j])
+        assert rel <= tol * 50, (j, rel)

@@ -74,6 +74,41 @@ def test_banded_rmatvec_nonsymmetric():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
 
 
+@pytest.mark.parametrize("offsets", [(0, 1), (-1, 0), (0, 1, 2), (-2, -1, 0)])
+def test_banded_rmatvec_one_sided_offsets(offsets):
+    """Adjoint halo widths are the mirror of the matvec's — a one-sided
+    offset range (e.g. upper-bidiagonal) exercises the swap (round-1
+    advisor finding: the unswapped halo silently corrupted every row)."""
+    n = 64
+    rng = np.random.default_rng(21)
+    coeffs = np.zeros((len(offsets), n))
+    for d, off in enumerate(offsets):
+        lo, hi = max(0, -off), n - max(0, off)
+        coeffs[d, lo:hi] = rng.standard_normal(hi - lo)
+    A = stencil.BandedOperator(jnp.asarray(coeffs), offsets, hermitian=False)
+    x = jnp.asarray(rng.standard_normal(n))
+    want = A.rmatvec(x)
+    # also pin against the dense adjoint
+    dense = np.zeros((n, n))
+    for d, off in enumerate(offsets):
+        for i in range(max(0, -off), n - max(0, off)):
+            dense[i, i + off] = coeffs[d, i]
+    np.testing.assert_allclose(np.asarray(want), dense.T @ np.asarray(x), atol=1e-13)
+
+    mesh = _mesh()
+    fn = jax.shard_map(
+        lambda c, v: parallel.ShardedBandedOperator(c, offsets).rmatvec(v),
+        mesh=mesh,
+        in_specs=(
+            jax.sharding.PartitionSpec(None, "rows"),
+            jax.sharding.PartitionSpec("rows"),
+        ),
+        out_specs=jax.sharding.PartitionSpec("rows"),
+    )
+    got = fn(A.coeffs, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
+
+
 @pytest.mark.parametrize("solver", [krylov_tpu.cg, krylov_tpu.minres])
 def test_sharded_solve_banded_matches_single_device(solver):
     A = stencil.poisson_2d(8, 16)

@@ -52,3 +52,16 @@ def test_refine_low_precision_inner_reaches_f32_accuracy():
     )
     rel16 = np.linalg.norm(r16) / np.linalg.norm(np.asarray(b))
     assert rel16 > rel  # refinement beats the pure low-precision solve
+
+
+def test_refine_accepts_backend_kwarg():
+    """backend= is documented for every solver; refine must forward it
+    without a duplicate-keyword TypeError (round-1 advisor finding)."""
+    A = stencil.poisson_2d(8, 8)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(64))
+    sol, info = krylov_tpu.refine(
+        A, b, inner_tol=1e-1, inner_maxiter=20, tol=1e-10, maxiter=40,
+        backend="eager",
+    )
+    assert info.success
