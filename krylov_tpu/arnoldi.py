@@ -1,26 +1,31 @@
 """Arnoldi / Lanczos orthogonalization processes (L2).
 
-Computes V (and P with preconditioning) and H with ``A V_n = V_{n+1} H_n``;
+Builds V (and P with preconditioning) and H with ``A V_n = V_{n+1} H_n``;
 if the Krylov subspace becomes A-invariant the relation truncates to
 ``A V_n = V_n H_n``.  Capability parity with the reference iterators
-(reference: src/krylov/arnoldi.py:33-301): three variants —
+(reference: src/krylov/arnoldi.py:33-301): three variants --
 
-* :class:`ArnoldiHouseholder` — accumulated Householder reflectors,
-  Euclidean inner product only,
-* :class:`ArnoldiMGS` — modified Gram–Schmidt with ``num_reorthos`` passes,
+* :class:`ArnoldiMGS` -- modified Gram-Schmidt with ``num_reorthos`` passes,
   arbitrary inner product and SPD preconditioner M (maintains the dual basis
   ``V = M P``),
-* :class:`ArnoldiLanczos` — three-term recurrence, O(1) state.
+* :class:`ArnoldiLanczos` -- three-term recurrence, O(1) state,
+* :class:`ArnoldiHouseholder` -- accumulated Householder reflectors,
+  Euclidean inner product only.
 
-These iterator classes are the *eager* (host-stepped) interface used by the
-parity-mode solvers and direct API users.  The compiled solvers do not call
-them: they inline the same recurrences as functional steps over fixed
-``(maxiter+1, N, ...)`` basis buffers inside ``lax.while_loop`` (see
-solvers/gmres.py, solvers/minres.py) — growing Python lists cannot live in
-traced code.
+Design: the numerical content lives in small *functional steps*
+(:func:`mgs_sweep`, :func:`lanczos_step`, :func:`normalize_dual`) --
+pure jnp functions over explicit state, the same recurrences the compiled
+solvers inline over fixed-shape buffers inside ``lax.while_loop``
+(solvers/gmres.py, solvers/minres.py).  The iterator classes here are thin
+host-side shells around those steps for the eager / parity interface, where
+bases may grow as Python lists.  Householder reflectors are kept as
+full-length padded vectors so every application is a whole-vector
+elementwise op (no suffix slicing) -- the vmappable formulation the TPU
+favors.
 
-The invariant-subspace flag semantics match the reference: iterating past an
-invariant subspace raises :class:`~krylov_tpu.errors.ArgumentError`.
+Invariant-subspace semantics match the reference: the breakdown flag is
+raised when the new subdiagonal entry falls below 1e-14, and iterating past
+an invariant subspace raises :class:`~krylov_tpu.errors.ArgumentError`.
 """
 
 import jax.numpy as jnp
@@ -31,232 +36,277 @@ from ._operators import Identity, as_operator
 from .errors import ArgumentError
 from .householder import Householder
 
-_INVARIANT_MSG = (
-    "Krylov subspace was found to be invariant in the previous iteration."
-)
+_BREAKDOWN_TOL = 1.0e-14
 
 
-def _common_dtype(*objs):
-    return np.result_type(*(getattr(o, "dtype", o) for o in objs))
+# ---------------------------------------------------------------------------
+# functional steps (pure; shared conceptually with the compiled solvers)
+# ---------------------------------------------------------------------------
 
 
-class ArnoldiHouseholder:
-    """Arnoldi via accumulated Householder reflections.
+def normalize_dual(inner, M, p, v=None, norm=None):
+    """Normalize the dual pair ``(p, v = M p)`` in the M-inner product.
 
-    (reference: src/krylov/arnoldi.py:33-104)
+    Returns ``(p_hat, v_hat, norm)`` with a division guard: a zero norm
+    leaves the vectors untouched instead of producing NaNs (the caller's
+    breakdown flag handles that case).
     """
+    if v is None:
+        v = M @ p
+    if norm is None:
+        norm = jnp.sqrt(inner(p, v))
+    safe = jnp.where(norm != 0.0, norm, 1.0)
+    return p / safe, v / safe, norm
 
-    def __init__(self, A, v):
-        self.inner = get_default_inner(v.shape)
-        self.A = A
-        self.v = jnp.asarray(v)
-        self.dtype = _common_dtype(A, self.v)
 
+def mgs_sweep(inner, V, P, w, coeffs):
+    """One modified-Gram-Schmidt pass of ``w`` against the bases.
+
+    Subtracts the ``P``-directions using ``V``-side inner products and
+    accumulates the projection coefficients into ``coeffs`` (so repeated
+    sweeps sum into the same Hessenberg column).
+    """
+    for j, (vj, pj) in enumerate(zip(V, P)):
+        c = inner(vj, w)
+        coeffs = coeffs.at[j].add(c)
+        w = w - c * pj
+    return w, coeffs
+
+
+def lanczos_step(A, M, inner, v, p, p_old, beta_prev):
+    """One three-term Lanczos recurrence step.
+
+    Returns ``(w, Mw, alpha, beta)`` where ``w`` is the unnormalized next
+    direction ``A v - alpha p - beta_prev p_old`` and ``beta`` its M-norm.
+    """
+    w = jnp.asarray(A @ v)
+    if p_old is not None:
+        w = w - beta_prev * p_old
+    alpha = inner(v, w)
+    w = w - alpha * p
+    Mw = M @ w
+    beta = jnp.sqrt(inner(w, Mw))
+    return w, Mw, alpha, beta
+
+
+def _padded_reflector(w, k):
+    """Householder reflector of ``w[k:]`` stored as a full-length vector.
+
+    The reflector annihilates ``w[k+1:]``; entries below ``k`` of the
+    stored direction are zero, so applying it is a whole-vector operation.
+    """
+    house = Householder(w[k:])
+    u = jnp.zeros_like(w).at[k:].set(house.v)
+    return u, house.beta, house.alpha, house.xnorm
+
+
+def _apply_reflector(u, beta, x):
+    return x - beta * u * jnp.vdot(u, x) if x.ndim == 1 else (
+        x - beta * u * jnp.tensordot(jnp.conj(u), x, axes=(0, 0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# eager iterator shells
+# ---------------------------------------------------------------------------
+
+
+class _Process:
+    """Shared iteration shell: breakdown guard + counter."""
+
+    def __init__(self):
         self.iter = 0
-        self.V = []
         self.is_invariant = False
-
-        self.houses = [Householder(self.v)]
-        self.vnorm = jnp.linalg.norm(self.v, 2)
-        self.V.append(self.v / jnp.where(self.vnorm != 0.0, self.vnorm, 1.0))
 
     def __iter__(self):
         return self
 
     def __next__(self):
         if self.is_invariant:
-            raise ArgumentError(_INVARIANT_MSG)
-
-        k = self.iter
-        Av = jnp.asarray(self.A @ self.V[k])
-
-        # project through all previous reflectors
-        for j in range(k + 1):
-            Av = Av.at[j:].set(self.houses[j] @ Av[j:])
-            Av = Av.at[j].multiply(jnp.conj(self.houses[j].alpha))
-
-        N = self.v.shape[0]
-        if k < N - 1:
-            house = Householder(Av[k + 1 :])
-            self.houses.append(house)
-            Av = Av.at[k + 1 :].set((house @ Av[k + 1 :]) * jnp.conj(house.alpha))
-            h = Av[: k + 2]
-            h = h.at[-1].set(jnp.abs(h[-1]))
-
-            if bool(np.all(np.asarray(h[-1]) <= 1.0e-14)):
-                self.is_invariant = True
-                v = None
-            else:
-                vnew = jnp.zeros_like(self.v)
-                vnew = vnew.at[k + 1].set(1)
-                for j in range(k + 1, -1, -1):
-                    vnew = vnew.at[j:].set(self.houses[j] @ vnew[j:])
-                v = vnew * self.houses[-1].alpha
-                self.V.append(v)
-        else:
-            h = jnp.zeros([Av.shape[0] + 1] + list(self.v.shape[1:]), Av.dtype)
-            h = h.at[:-1].set(Av)
-            self.is_invariant = True
-            v = None
-
+            raise ArgumentError(
+                "Krylov subspace was found to be invariant in the previous "
+                "iteration."
+            )
+        out = self._advance()
         self.iter += 1
-        return v, h
+        return out
+
+    def _flag_breakdown(self, subdiag):
+        if bool(np.all(np.asarray(subdiag) <= _BREAKDOWN_TOL)):
+            self.is_invariant = True
+            return True
+        return False
+
+    @staticmethod
+    def _result_dtype(*objs):
+        return np.result_type(*(getattr(o, "dtype", o) for o in objs))
 
 
-class ArnoldiMGS:
-    """Arnoldi via (re-orthogonalized) modified Gram–Schmidt.
+class ArnoldiMGS(_Process):
+    """Arnoldi via (re-orthogonalized) modified Gram-Schmidt.
 
     With a preconditioner M, maintains the dual bases ``P`` and ``V = M P``
-    (reference: src/krylov/arnoldi.py:107-200).
+    (capability parity: reference src/krylov/arnoldi.py:107-200).
     """
 
-    def __init__(
-        self,
-        A,
-        v,
-        num_reorthos: int = 1,
-        M=None,
-        Mv=None,
-        Mv_norm=None,
-        inner=None,
-    ):
-        self.inner = get_default_inner(v.shape) if inner is None else inner
-        # per-RHS scalar shape derived from the inner product, not v.shape[1:]
-        # (full-contraction inners for grid-shaped vectors give tail == ());
-        # evaluated concretely: user inners may be numpy-based (untraceable)
-        self.tail = tuple(jnp.shape(self.inner(v, v)))
+    def __init__(self, A, v, num_reorthos=1, M=None, Mv=None, Mv_norm=None,
+                 inner=None):
+        super().__init__()
         self.A = A
-        self.v = jnp.asarray(v)
-        self.num_reorthos = num_reorthos
         self.M = Identity() if M is None else as_operator(M)
-        self.dtype = _common_dtype(A, self.M, self.v)
+        self.inner = get_default_inner(v.shape) if inner is None else inner
+        self.num_reorthos = num_reorthos
+        v = jnp.asarray(v)
+        self.dtype = self._result_dtype(A, self.M, v)
+        # per-RHS scalar shape comes from the inner product itself (a
+        # full-contraction inner on grid-shaped vectors yields tail == ());
+        # evaluated concretely because user inners may be numpy-based
+        self.tail = tuple(jnp.shape(self.inner(v, v)))
 
-        self.iter = 0
-        self.V = []
-        self.P = []
-        self.is_invariant = False
+        p0, v0, self.vnorm = normalize_dual(
+            self.inner, self.M, v, v=Mv, norm=Mv_norm
+        )
+        self.P = [p0]
+        self.V = [v0]
 
-        p = self.v
-        v_ = self.M @ p if Mv is None else Mv
-        if Mv_norm is None:
-            self.vnorm = jnp.sqrt(self.inner(p, v_))
-        else:
-            self.vnorm = Mv_norm
-
-        safe = jnp.where(self.vnorm != 0.0, self.vnorm, 1.0)
-        self.P.append(p / safe)
-        self.V.append(v_ / safe)
-
-    def _mgs_pass(self, k, Av, h):
-        for j in range(k + 1):
-            alpha = self.inner(self.V[j], Av)
-            h = h.at[j].add(alpha)
-            Av = Av - alpha * self.P[j]
-        return Av, h
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        if self.is_invariant:
-            raise ArgumentError(_INVARIANT_MSG)
-
+    def _advance(self):
         k = self.iter
-        Av = jnp.asarray(self.A @ self.V[k])
-
-        h = jnp.zeros([k + 2] + list(self.tail), dtype=self.dtype)
+        w = jnp.asarray(self.A @ self.V[k])
+        hcol = jnp.zeros((k + 2,) + self.tail, dtype=self.dtype)
         for _ in range(self.num_reorthos):
-            Av, h = self._mgs_pass(k, Av, h)
+            w, hcol = mgs_sweep(self.inner, self.V, self.P, w, hcol)
 
-        MAv = self.M @ Av
-        h = h.at[k + 1].set(jnp.sqrt(self.inner(Av, MAv)))
+        Mw = self.M @ w
+        subdiag = jnp.sqrt(self.inner(w, Mw))
+        hcol = hcol.at[k + 1].set(subdiag)
 
-        if bool(np.all(np.asarray(h[k + 1]) <= 1.0e-14)):
-            self.is_invariant = True
-            v = None
-        else:
-            Hk1k = jnp.where(h[k + 1] != 0.0, h[k + 1], 1.0)
-            self.P.append(Av / Hk1k)
-            v = MAv / Hk1k
-            self.V.append(v)
-
-        self.iter += 1
-        return v, h
+        if self._flag_breakdown(subdiag):
+            return None, hcol
+        p_new, v_new, _ = normalize_dual(
+            self.inner, self.M, w, v=Mw, norm=subdiag
+        )
+        self.P.append(p_new)
+        self.V.append(v_new)
+        return v_new, hcol
 
 
-class ArnoldiLanczos:
-    """Three-term Lanczos recurrence; stores only p_old, p, v.
+class ArnoldiLanczos(_Process):
+    """Three-term Lanczos recurrence; O(1) state ``(p_old, p, v)``.
 
-    (reference: src/krylov/arnoldi.py:203-281)
+    (capability parity: reference src/krylov/arnoldi.py:203-281)
     """
 
     def __init__(self, A, v, M=None, Mv=None, Mv_norm=None, inner=None):
+        super().__init__()
         self.A = A
         self.M = Identity() if M is None else as_operator(M)
         self.inner = get_default_inner(v.shape) if inner is None else inner
-        # per-RHS scalar shape derived from the inner product, not v.shape[1:]
-        # (full-contraction inners for grid-shaped vectors give tail == ());
-        # evaluated concretely: user inners may be numpy-based (untraceable)
-        self.tail = tuple(jnp.shape(self.inner(v, v)))
         v = jnp.asarray(v)
-        self.dtype = _common_dtype(A, self.M, v)
+        self.dtype = self._result_dtype(A, self.M, v)
+        self.tail = tuple(jnp.shape(self.inner(v, v)))
 
-        self.num_iter = 0
-        # the three tridiagonal entries of the current Hessenberg column
-        self.h = jnp.zeros([3] + list(self.tail), dtype=self.dtype)
-        self.is_invariant = False
-
-        p = v
-        v_ = self.M @ p if Mv is None else Mv
-        self.vnorm = jnp.sqrt(self.inner(p, v_)) if Mv_norm is None else Mv_norm
-
-        safe = jnp.where(self.vnorm != 0.0, self.vnorm, 1.0)
         self.p_old = None
-        self.p = p / safe
-        self.v = v_ / safe
+        self.p, self.v, self.vnorm = normalize_dual(
+            self.inner, self.M, v, v=Mv, norm=Mv_norm
+        )
+        # current tridiagonal column (upper, diagonal, lower)
+        self.h = jnp.zeros((3,) + self.tail, dtype=self.dtype)
 
-    def __iter__(self):
-        return self
+    # the reference exposes the step count as num_iter on this variant
+    @property
+    def num_iter(self):
+        return self.iter
 
-    def __next__(self):
-        if self.is_invariant:
-            raise ArgumentError(_INVARIANT_MSG)
-
-        Av = jnp.asarray(self.A @ self.v)
-
-        h = self.h
-        if self.num_iter > 0:
-            # copy the old lower-diagonal entry to the upper diagonal
-            h = h.at[0].set(h[2])
-            Av = Av - h[0] * self.p_old
-
-        alpha = self.inner(self.v, Av)
-        h = h.at[1].set(alpha)
-        Av = Av - alpha * self.p
-
-        MAv = self.M @ Av
-        beta = jnp.sqrt(self.inner(Av, MAv))
-        h = h.at[2].set(beta)
+    def _advance(self):
+        beta_prev = self.h[2] if self.iter > 0 else None
+        w, Mw, alpha, beta = lanczos_step(
+            self.A, self.M, self.inner, self.v, self.p,
+            self.p_old if self.iter > 0 else None, beta_prev,
+        )
+        h = jnp.stack(
+            [
+                jnp.asarray(
+                    beta_prev if self.iter > 0 else jnp.zeros_like(beta)
+                ),
+                jnp.asarray(alpha),
+                jnp.asarray(beta),
+            ]
+        ).astype(self.dtype)
         self.h = h
 
-        if bool(np.all(np.asarray(beta) <= 1.0e-14)):
-            self.is_invariant = True
+        if self._flag_breakdown(beta):
             self.v = None
             self.p = None
-        else:
-            Hk1k = jnp.where(beta != 0.0, beta, 1.0)
-            self.p_old = self.p
-            self.p = Av / Hk1k
-            self.v = MAv / Hk1k
-
-        self.num_iter += 1
+            return self.v, self.h, self.p
+        self.p_old = self.p
+        self.p, self.v, _ = normalize_dual(
+            self.inner, self.M, w, v=Mw, norm=beta
+        )
         return self.v, self.h, self.p
+
+
+class ArnoldiHouseholder(_Process):
+    """Arnoldi via accumulated full-length Householder reflectors.
+
+    Euclidean inner product only (capability parity: reference
+    src/krylov/arnoldi.py:33-104).  Reflector ``j`` is padded with zeros
+    below index ``j`` so both the forward projection sweep and the basis
+    reconstruction are chains of whole-vector updates.
+    """
+
+    def __init__(self, A, v):
+        super().__init__()
+        self.A = A
+        self.inner = get_default_inner(v.shape)
+        self.v = jnp.asarray(v)
+        self.dtype = self._result_dtype(A, self.v)
+
+        u0, b0, a0, self.vnorm = _padded_reflector(self.v, 0)
+        self._reflectors = [(u0, b0, a0)]
+        safe = jnp.where(self.vnorm != 0.0, self.vnorm, 1.0)
+        self.V = [self.v / safe]
+
+    def _project(self, w, upto):
+        """Apply reflectors 0..upto, fixing the phase of entry j each step."""
+        for j in range(upto + 1):
+            u, beta, alpha = self._reflectors[j]
+            w = _apply_reflector(u, beta, w)
+            w = w.at[j].multiply(jnp.conj(alpha))
+        return w
+
+    def _reconstruct(self, k):
+        """Basis vector k: reflectors applied to e_k in reverse order."""
+        e = jnp.zeros_like(self.v).at[k].set(1)
+        for u, beta, _ in reversed(self._reflectors):
+            e = _apply_reflector(u, beta, e)
+        return e * self._reflectors[-1][2]
+
+    def _advance(self):
+        k = self.iter
+        w = self._project(jnp.asarray(self.A @ self.V[k]), k)
+        n = self.v.shape[0]
+
+        if k + 1 >= n:
+            hcol = jnp.zeros((n + 1,) + self.v.shape[1:], w.dtype).at[:n].set(w)
+            self.is_invariant = True
+            return None, hcol
+
+        u, beta, alpha, xnorm = _padded_reflector(w, k + 1)
+        self._reflectors.append((u, beta, alpha))
+        w = _apply_reflector(u, beta, w).at[k + 1].multiply(jnp.conj(alpha))
+        hcol = w[: k + 2].at[-1].set(jnp.abs(w[k + 1]))
+
+        if self._flag_breakdown(hcol[-1]):
+            return None, hcol
+        v_new = self._reconstruct(k + 1)
+        self.V.append(v_new)
+        return v_new, hcol
 
 
 def arnoldi_res(A, V, H, inner=None):
     """Arnoldi residual ``|| A V_n - V_{n+1} H_n ||`` (diagnostic).
 
-    (reference: src/krylov/arnoldi.py:284-301)
+    (capability parity: reference src/krylov/arnoldi.py:284-301)
     """
     invariant = H.shape[0] == H.shape[1]
     V1 = V if invariant else V[:, :-1]

@@ -52,7 +52,8 @@ def qr(X, inner=None, reorthos: int = 1):
                 R = R.at[j, i].add(alpha)
                 Q = Q.at[:, [i]].add(-alpha * Q[:, [j]])
         nrm2 = jnp.asarray(inner(Q[:, [i]], Q[:, [i]])).reshape(())
-        rii = jnp.sqrt(jnp.linalg.norm(nrm2.reshape(1), 2))
+        # <q, q> is real non-negative up to roundoff; |.| guards the sqrt
+        rii = jnp.sqrt(jnp.abs(nrm2)).astype(X.dtype)
         R = R.at[i, i].set(rii)
         Q = Q.at[:, [i]].set(
             jnp.where(rii >= 1e-15, Q[:, [i]] / jnp.where(rii >= 1e-15, rii, 1.0), Q[:, [i]])
@@ -162,36 +163,32 @@ def strakos(n, l_min=0.1, l_max=100, rho=0.9):
 
 
 def gap(lamda, sigma, mode: str = "individual"):
-    """Spectral gap between two sets of real numbers.
+    """Spectral gap between two sets of real eigenvalue estimates.
 
-    (reference: src/krylov/utils.py:195-251)
+    ``individual``: smallest pairwise distance between the two sets.
+    ``interval``: distance from the interval hull of ``lamda`` to the
+    nearest element of ``sigma`` outside it; ``None`` if any element of
+    ``sigma`` falls strictly inside the hull.
+    (capability parity: reference src/krylov/utils.py:195-251)
     """
-    if np.isscalar(lamda):
-        lamda = [lamda]
-    lamda = np.asarray(lamda)
-    if np.isscalar(sigma):
-        sigma = [sigma]
-    sigma = np.asarray(sigma)
-
-    if not np.isreal(lamda).all() or not np.isreal(sigma).all():
+    lamda = np.atleast_1d(np.asarray(lamda))
+    sigma = np.atleast_1d(np.asarray(sigma))
+    if np.iscomplexobj(lamda) and lamda.imag.any() or (
+        np.iscomplexobj(sigma) and sigma.imag.any()
+    ):
         raise ArgumentError("complex spectra not yet implemented")
+    lamda, sigma = lamda.real, sigma.real
 
     if mode == "individual":
-        return np.min(
-            np.abs(lamda.reshape(len(lamda), 1) - sigma.reshape(1, len(sigma)))
-        )
+        return float(np.abs(np.subtract.outer(lamda, sigma)).min())
     if mode == "interval":
-        lamda_min, lamda_max = np.min(lamda), np.max(lamda)
-        sigma_lo = sigma <= lamda_min
-        sigma_hi = sigma >= lamda_max
-        if not np.all(sigma_lo + sigma_hi):
+        lo, hi = lamda.min(), lamda.max()
+        inside = (sigma > lo) & (sigma < hi)
+        if inside.any():
             return None
-        delta = np.inf
-        if np.any(sigma_lo):
-            delta = lamda_min - np.max(sigma[sigma_lo])
-        if np.any(sigma_hi):
-            delta = np.min([delta, np.min(sigma[sigma_hi]) - lamda_max])
-        return delta
+        below = np.where(sigma <= lo, lo - sigma, np.inf).min()
+        above = np.where(sigma >= hi, sigma - hi, np.inf).min()
+        return float(min(below, above))
     raise ArgumentError(f"unknown mode {mode!r}")
 
 
@@ -200,40 +197,41 @@ class NormalizedRootsPolynomial:
 
     .. math:: p(\lambda) = \prod_i (1 - \lambda / \theta_i)
 
-    Evaluation interlaces large and small factors to avoid over/underflow
-    (reference: src/krylov/utils.py:254-316).
+    A naive left-to-right product over thousands of factors can overflow or
+    underflow long before the (moderate) final value; evaluation therefore
+    pairs each large-magnitude factor with a small one before multiplying.
+    This is done fully vectorized: factors are sorted by magnitude along
+    the root axis and re-rows with one fixed interleaving permutation, so a
+    whole batch of points evaluates with no per-point Python loop.
+    (capability parity: reference src/krylov/utils.py:254-316)
     """
 
     def __init__(self, roots):
         roots = np.asarray(roots)
-        if len(roots.shape) != 1:
+        if roots.ndim != 1:
             raise ArgumentError("one-dimensional array of roots expected.")
         self.roots = roots
+        # fixed interleaving: positions 0,2,4,.. take the smallest factors
+        # in ascending order, 1,3,5,.. the largest in descending order
+        n = roots.shape[0]
+        half = (n + 1) // 2
+        self._interleave = np.empty(n, dtype=int)
+        self._interleave[0::2] = np.arange(half)
+        self._interleave[1::2] = np.arange(n - 1, half - 1, -1)
 
     def minmax_candidates(self):
         """Points where the derivative vanishes (for extrema over intervals)."""
         from numpy.polynomial import Polynomial as P
 
-        p = P.fromroots(self.roots)
-        return p.deriv(1).roots()
+        return P.fromroots(self.roots).deriv(1).roots()
 
     def __call__(self, points):
-        p = np.asarray(points)
-        if len(p.shape) > 1:
-            raise ArgumentError("scalar or one-dimensional array of points expected.")
-        n = self.roots.shape[0]
-        vals = 1 - np.atleast_1d(p) / self.roots.reshape(n, 1)
-
-        # interlace large and small magnitudes before multiplying
-        for j in range(vals.shape[1]):
-            sort_tmp = np.argsort(np.abs(vals[:, j]))
-            sort = np.zeros((n,), dtype=int)
-            mid = int(np.ceil(float(n) / 2))
-            sort[::2] = sort_tmp[:mid]
-            sort[1::2] = sort_tmp[mid:][::-1]
-            vals[:, j] = vals[sort, j]
-
-        vals = np.prod(vals, axis=0)
-        if np.isscalar(points):
-            return vals.item()
-        return vals
+        pts = np.asarray(points)
+        if pts.ndim > 1:
+            raise ArgumentError(
+                "scalar or one-dimensional array of points expected."
+            )
+        factors = 1.0 - np.atleast_1d(pts)[None, :] / self.roots[:, None]
+        order = np.argsort(np.abs(factors), axis=0)[self._interleave]
+        out = np.prod(np.take_along_axis(factors, order, axis=0), axis=0)
+        return out.item() if pts.ndim == 0 else out
