@@ -158,6 +158,76 @@ def main():
         extras["bf16_const_spmv_us"] = round(dtb * 1e6, 2)
         extras["bf16_const_nnz_per_s"] = round(int(Ac.nnz) / dtb, 1)
 
+        # general-sparsity CSR via the Pallas PET kernel, vs the portable
+        # XLA gather+segment_sum path, on an irregular matrix (variable row
+        # degrees 5..50, columns scattered in a 1024-wide band -- no banded/
+        # stencil structure is exploited)
+        from krylov_tpu.ops.pallas_spmv import build_pet, _pet_matvec_padded
+
+        ncsr = 1 << 20
+        crng = np.random.default_rng(7)
+        row_nnz = crng.integers(5, 50, ncsr)
+        cnnz = int(row_nnz.sum())
+        indptr = np.zeros(ncsr + 1, np.int64)
+        indptr[1:] = np.cumsum(row_nnz)
+        rr = np.repeat(np.arange(ncsr), row_nnz)
+        cc = np.clip(rr + crng.integers(-512, 512, cnnz), 0, ncsr - 1)
+        import scipy.sparse
+
+        sp_csr = scipy.sparse.csr_matrix(
+            (crng.standard_normal(cnnz).astype(np.float32),
+             cc.astype(np.int32), indptr),
+            shape=(ncsr, ncsr),
+        )
+        pet = build_pet(sp_csr)
+        xw = jnp.asarray(
+            rng.standard_normal(pet["pages_pad"] * 128), jnp.float32
+        ).reshape(pet["pages_pad"], 128)
+
+        @partial(jax.jit, static_argnums=5)
+        def chain_pet(ent, dat, meta, meta_v, x2, K):
+            def body(i, xc):
+                y = _pet_matvec_padded(
+                    ent, dat, meta, meta_v, xc,
+                    nchunks=pet["nchunks"], ngroups=pet["ngroups"],
+                    pages_pad=pet["pages_pad"], interpret=False,
+                )
+                yf = y.reshape(-1)[: pet["pages_pad"] * 128] * 1e-4
+                return yf.reshape(xc.shape) + xc * 0.5
+            return lax.fori_loop(0, K, body, x2)
+
+        dtp = timed(
+            chain_pet,
+            (pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], xw),
+            2, 18, 3,
+        )
+        pet_nnz = pet["nnz"]
+        slot_bytes = pet["nchunks"] * 128 * 256 * 5  # int8 lcol + f32 data
+        extras["csr_pet_spmv_us"] = round(dtp * 1e6, 2)
+        extras["csr_pet_nnz_per_s"] = round(pet_nnz / dtp, 1)
+        extras["csr_pet_fill"] = round(pet["fill"], 4)
+        extras["csr_pet_stream_gbps"] = round(slot_bytes / dtp / 1e9, 2)
+
+        # XLA baseline on the same matrix (gather + segment_sum)
+        from krylov_tpu.ops.sparse import CSROperator
+
+        Ax = CSROperator.from_scipy(sp_csr)
+        xv = jnp.asarray(rng.standard_normal(ncsr), jnp.float32)
+
+        @jax.jit
+        def xla_mv(d, c, r, v):
+            op = CSROperator(d, c, r, (ncsr, ncsr))
+            return op @ v
+
+        r0 = xla_mv(Ax.data, Ax.indices, Ax.indptr, xv)
+        float(jnp.sum(r0))
+        t0 = time.perf_counter()
+        r0 = xla_mv(Ax.data, Ax.indices, Ax.indptr, xv)
+        float(jnp.sum(r0))
+        dtx = time.perf_counter() - t0
+        extras["csr_xla_nnz_per_s"] = round(pet_nnz / dtx, 1)
+        extras["csr_pet_speedup_vs_xla"] = round(dtx / dtp, 1)
+
         # compiled fused CG, 100 iterations (const-stencil operator)
         b = jnp.ones(Ac.grid, jnp.float32)
 

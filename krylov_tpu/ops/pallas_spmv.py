@@ -1,0 +1,491 @@
+"""Pallas row-chunked CSR SpMV for TPU: the PET (page-ELL tiles) kernel.
+
+The reference accepts arbitrary scipy-sparse operators in every solver
+(reference: tests/test_solvers.py:199-209) and gets its SpMV from scipy's
+native CSR matvec.  On TPU the portable XLA gather+segment_sum path
+(:class:`krylov_tpu.ops.sparse.CSROperator`) is catastrophically slow for
+large matrices (~0.06 Gnnz/s measured on v5e -- XLA lowers the x-gather to
+serial dynamic slices), so general sparsity needs a real kernel.
+
+TPU constraints that shape the design (measured on v5e, jax 0.9):
+
+* Mosaic supports exactly ONE in-VMEM gather primitive: ``take_along_axis``
+  along the 128-lane axis with ``idx.shape == table.shape``
+  (``tpu.dynamic_gather``).  Each sublane row of the index tile reads from a
+  private 128-value table row.  There is no scatter and no sublane-direction
+  gather on this hardware generation.
+* Grid-step streaming reaches peak only with >=64 KB blocks per step.
+
+**PET format.**  Rows are grouped 128-per-*subgroup* (lane = row % 128) and
+``GS`` subgroups per *group* (one output tile ``(GS, 128)``).  The x vector
+is viewed as 128-wide *pages*.  A *slot* is a (subgroup, page, occurrence)
+triple: it holds, for each of the subgroup's 128 rows, that row's k-th
+matrix entry whose column falls in that page -- so a slot's 128 lanes share
+one x-page and one output row of the group tile.  Slots are packed ``LC``
+per *chunk*; every slot in a chunk reads its page from one of (up to) two
+``CWP``-page sub-windows, both inside the chunk's aligned ``WPAGES``-page
+x-window (the two sub-windows let chunks pack densely across groups whose
+column span straddles a sub-window boundary).
+
+Per chunk the kernel then needs only four cheap dense ops:
+
+1. build the per-slot page tables with masked one-hot MXU matmuls
+   ``(LC, CWP) @ (CWP, 128)`` from the two sub-windows,
+2. ``take_along_axis`` (the hardware lane-gather) with the 7-bit in-page
+   column indices,
+3. multiply by the streamed data tile,
+4. route the per-slot partial sums to the ``GS`` output rows with a second
+   one-hot matmul ``(GS, LC) @ (LC, 128)`` and accumulate into the output
+   tile (revisited across all chunks of the group).
+
+Index traffic is 1 byte per slot-lane: only the 7-bit in-page column index
+streams per lane (int8); the per-SLOT descriptors (page_rel, window select,
+output row) are packed one int32 per slot into the chunk's metadata tile,
+lane-major, and relayouted in-kernel with one small (8,128) transpose.
+Total stream: 5 bytes per (padded) slot-lane in f32 -- 37% below raw CSR's
+8-byte data+index stream, which pays for the padding.  Padding (empty
+lanes / chunk tails) is structure-dependent and is reported by
+:func:`build_pet` as ``fill``; matrices with column locality (stencils,
+meshes, RCM-ordered graphs) fill well, while adversarially random columns
+degrade gracefully (still orders of magnitude above the XLA fallback).
+
+The x window DMA is driven by scalar-prefetched per-chunk metadata
+(window block, group, zero-init flag, sub-window bases), so the pipeline
+overlaps the window fetch with compute and skips re-fetches while
+consecutive chunks share a window.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.tree_util import register_pytree_node_class
+
+# static layout parameters (powers of two; bit packing below assumes these)
+LC = 256        # slots per chunk
+WPAGES = 256    # pages per DMA'd x window (32768 x values, 128 KB f32)
+CWP = 32        # pages per chunk-local sub-window (kept small: the one-hot
+                # table matmul cost is LC * 2*CWP * 128 MACs per chunk)
+GS = 32         # subgroups (of 128 rows) per output group tile (5 bits)
+# per-slot descriptor word: pidx (6 bits) | wid << 6 | sgr << 7
+
+
+def _schedule_slots(slot_grp, slot_page, ngroups):
+    """Greedy per-group schedule: sub-window runs, then <=2-window chunks.
+
+    Returns per-slot (chunk, pos-in-chunk, wid 0/1, cbase of its window)
+    and per-chunk (group, wblock, cbase0, cbase1).
+    """
+    n_slots = len(slot_page)
+    chunk_of = np.empty(n_slots, np.int64)
+    pos_of = np.empty(n_slots, np.int64)
+    wid_of = np.empty(n_slots, np.int8)
+    cbase_of = np.empty(n_slots, np.int64)
+
+    chunks_grp, chunks_wblk, chunks_cb0, chunks_cb1 = [], [], [], []
+
+    grp_bounds = np.r_[
+        0, np.flatnonzero(slot_grp[1:] != slot_grp[:-1]) + 1, n_slots
+    ] if n_slots else np.array([0])
+
+    for gi in range(len(grp_bounds) - 1):
+        lo, hi = grp_bounds[gi], grp_bounds[gi + 1]
+        pages = slot_page[lo:hi]
+        g = slot_grp[lo]
+        # greedy sub-window runs, clipped inside aligned WPAGES blocks
+        runs = []  # (start, end, base_page)
+        i = 0
+        while i < hi - lo:
+            p = pages[i]
+            blk = p // WPAGES
+            base = min(p - p % 8, (blk + 1) * WPAGES - CWP)
+            base = max(base, blk * WPAGES)
+            j = np.searchsorted(pages, base + CWP)
+            jb = np.searchsorted(pages, (blk + 1) * WPAGES)
+            j = min(j, jb)
+            runs.append((i, j, base))
+            i = j
+        # pack runs into chunks: <=LC slots, <=2 windows, one WPAGES block
+        cur_cnt, cur_wins = LC, []  # force new chunk at first slot
+        for (i, j, base) in runs:
+            blk = base // WPAGES
+            k = i
+            while k < j:
+                win_ok = (
+                    any(b == base for (b, _) in cur_wins)
+                    or (len(cur_wins) < 2
+                        and all(bb // WPAGES == blk for (bb, _) in cur_wins))
+                )
+                if cur_cnt >= LC or not win_ok:
+                    chunks_grp.append(g)
+                    chunks_wblk.append(blk)
+                    cur_wins = [(base, 0)]
+                    cur_cnt = 0
+                elif not any(b == base for (b, _) in cur_wins):
+                    cur_wins.append((base, len(cur_wins)))
+                wid = next(w for (b, w) in cur_wins if b == base)
+                take = min(LC - cur_cnt, j - k)
+                c = len(chunks_grp) - 1
+                sl = slice(lo + k, lo + k + take)
+                chunk_of[sl] = c
+                pos_of[sl] = cur_cnt + np.arange(take)
+                wid_of[sl] = wid
+                cbase_of[sl] = base
+                cur_cnt += take
+                k += take
+                # keep per-chunk window bases up to date
+                while len(chunks_cb0) <= c:
+                    chunks_cb0.append(base)
+                    chunks_cb1.append(base)
+                if wid == 0:
+                    chunks_cb0[c] = base
+                else:
+                    chunks_cb1[c] = base
+
+    return (
+        chunk_of, pos_of, wid_of, cbase_of,
+        np.asarray(chunks_grp, np.int64),
+        np.asarray(chunks_wblk, np.int64),
+        np.asarray(chunks_cb0, np.int64),
+        np.asarray(chunks_cb1, np.int64),
+    )
+
+
+def build_pet(sp, dtype=np.float32):
+    """Build PET arrays from a scipy sparse matrix (host-side, one-time).
+
+    Returns a dict of device arrays + static geometry:
+      ent  (nchunks*LC, 128) int32   packed (wid, sgr, page_rel, lcol)
+      dat  (nchunks*LC, 128) dtype   matrix entries (0 in padded lanes)
+      meta (nchunks, 5) int32        [wblock, group, first, cbase0, cbase1]
+    plus shape/padding info and the achieved ``fill`` ratio
+    (true nnz / streamed slot-lanes).
+    """
+    import scipy.sparse
+
+    csr = scipy.sparse.csr_matrix(sp).astype(dtype)
+    csr.sort_indices()
+    n, m = csr.shape
+    nnz = csr.nnz
+
+    nsg = -(-n // 128)
+    ngroups = max(1, -(-nsg // GS))
+    pages_tot = max(1, -(-m // 128))
+    nwin = -(-pages_tot // WPAGES)
+    pages_pad = nwin * WPAGES
+    if ngroups > 0xFFFF or nwin > 0x7FFF:
+        # the packed SMEM scalar holds (wblock << 16 | group)
+        raise ValueError(
+            f"matrix too large for PET metadata packing: "
+            f"{n} rows / {m} cols"
+        )
+
+    row = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.indptr))
+    col = csr.indices.astype(np.int64)
+    page = col >> 7
+    lcol = (col & 127).astype(np.int32)
+    sg = row >> 7
+    lane = (row & 127).astype(np.int32)
+    grp = (sg // GS).astype(np.int64)
+    sgr = (sg % GS).astype(np.int32)
+
+    # occurrence rank k of each entry within its (sg, page, lane) cell
+    k = np.zeros(nnz, np.int64)
+    if nnz:
+        key = (sg * pages_pad + page) * 128 + lane
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        run_start = np.r_[0, np.flatnonzero(sk[1:] != sk[:-1]) + 1]
+        run_id = np.zeros(nnz, np.int64)
+        run_id[run_start] = 1
+        run_id = np.cumsum(run_id) - 1
+        k[order] = np.arange(nnz) - run_start[run_id]
+
+    # slots = distinct (grp, page, k, sg); order entries by slot, page-sorted
+    # within each group so chunk sub-windows are contiguous
+    order2 = np.lexsort((lane, sgr, k, page, grp))
+    g2, p2, k2, s2 = grp[order2], page[order2], k[order2], sgr[order2]
+    if nnz:
+        new_slot = np.r_[
+            True,
+            (g2[1:] != g2[:-1]) | (p2[1:] != p2[:-1])
+            | (k2[1:] != k2[:-1]) | (s2[1:] != s2[:-1]),
+        ]
+        slot_of_entry = np.cumsum(new_slot) - 1
+        n_slots = int(slot_of_entry[-1]) + 1
+        slot_first = np.flatnonzero(new_slot)
+        slot_grp = g2[slot_first]
+        slot_page = p2[slot_first]
+        slot_sgr = s2[slot_first]
+    else:
+        n_slots = 0
+        slot_of_entry = np.zeros(0, np.int64)
+        slot_grp = slot_page = np.zeros(0, np.int64)
+        slot_sgr = np.zeros(0, np.int32)
+
+    (
+        slot_chunk, slot_pos, slot_wid, slot_cbase,
+        chunk_grp, chunk_wblk, chunk_cb0, chunk_cb1,
+    ) = _schedule_slots(slot_grp, slot_page, ngroups)
+    nchunks_data = len(chunk_grp)
+
+    # groups with no entries still need one (zero) chunk so their output
+    # tile gets zero-initialised
+    have = np.zeros(ngroups, bool)
+    if nchunks_data:
+        have[chunk_grp] = True
+    extra_grps = np.flatnonzero(~have)
+    nchunks = max(nchunks_data + len(extra_grps), 1)
+
+    # index-map scalars live in SMEM (1 MB budget) -- pack (wblock, group)
+    # into one int32 per chunk; the remaining per-chunk words stream through
+    # VMEM alongside the entry tiles
+    meta = np.zeros(nchunks, np.int32)
+    # (nchunks*8, 128) so the streamed block (8, 128) meets the int32
+    # sublane tiling constraint; row 0 holds [first, cbase0, cbase1],
+    # rows 1..LC/128 hold the per-slot descriptor words lane-major
+    # (row 1 + i, lane j = slot i*128 + j)
+    meta_v = np.zeros((nchunks, 8, 128), np.int32)
+    if nchunks_data:
+        meta[:nchunks_data] = (chunk_wblk.astype(np.int32) << 16) | (
+            chunk_grp.astype(np.int32)
+        )
+        meta_v[:nchunks_data, 0, 0] = np.r_[
+            True, chunk_grp[1:] != chunk_grp[:-1]
+        ]
+        meta_v[:nchunks_data, 0, 1] = chunk_cb0 - chunk_wblk * WPAGES
+        meta_v[:nchunks_data, 0, 2] = chunk_cb1 - chunk_wblk * WPAGES
+    if len(extra_grps):
+        meta[nchunks_data:] = extra_grps.astype(np.int32)
+        meta_v[nchunks_data:, 0, 0] = 1
+
+    ent = np.zeros((nchunks * LC, 128), np.int8)
+    dat = np.zeros((nchunks * LC, 128), dtype)
+    if n_slots:
+        prel = (slot_page - slot_cbase).astype(np.int32)
+        desc = (
+            (slot_sgr.astype(np.int32) << 7)
+            | (slot_wid.astype(np.int32) << 6)
+            | prel
+        )
+        meta_v[
+            slot_chunk, 1 + slot_pos // 128, slot_pos % 128
+        ] = desc
+        srow = slot_chunk * LC + slot_pos
+        erow = srow[slot_of_entry]
+        elane = lane[order2]
+        ent[erow, elane] = lcol[order2].astype(np.int8)
+        dat[erow, elane] = csr.data[order2]
+    meta_v = meta_v.reshape(nchunks * 8, 128)
+
+    fill = nnz / float(nchunks * LC * 128)
+    return {
+        "ent": jnp.asarray(ent),
+        "dat": jnp.asarray(dat),
+        "meta": jnp.asarray(meta),
+        "meta_v": jnp.asarray(meta_v),
+        "shape": (n, m),
+        "nchunks": nchunks,
+        "ngroups": ngroups,
+        "pages_pad": pages_pad,
+        "nnz": nnz,
+        "fill": fill,
+    }
+
+
+def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref):
+    @pl.when(mv_ref[0, 0] == 1)
+    def _():
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+
+    mv = mv_ref[:, :]                                       # (8, 128) int32
+    xs0 = xw_ref[pl.ds(mv_ref[0, 1], CWP), :]               # (CWP, 128)
+    xs1 = xw_ref[pl.ds(mv_ref[0, 2], CWP), :]
+    xs = jnp.concatenate([xs0, xs1], axis=0)                # (2*CWP, 128)
+
+    # All one-hots are built LANE-MAJOR straight from the metadata rows (no
+    # transpose: Mosaic relayouts of small int tiles cost ~15% of the whole
+    # kernel).  The page table per 128-slot half comes out of a transposed
+    # contraction: tab_half[l, j] = sum_q ohT[q, l] * xs[q, j].
+    #
+    # precision=HIGHEST (bf16x3 passes on v5e) makes the one-hot row
+    # selection numerically EXACT: each one-hot column has a single 1, so
+    # each pass accumulates one product and the three splits sum back to
+    # the f32 x value without rounding.
+    iota_q = lax.broadcasted_iota(jnp.int32, (2 * CWP, 128), 0)
+    iota_s = lax.broadcasted_iota(jnp.int32, (GS, 128), 0)
+    tab_halves, ohs_halves = [], []
+    for i in range(LC // 128):
+        drow = mv[1 + i : 2 + i, :]                         # (1, 128)
+        pw = (drow & (CWP - 1)) + ((drow >> 6) & 1) * CWP
+        ohT = (pw == iota_q).astype(xs.dtype)               # (2*CWP, 128)
+        tab_halves.append(
+            lax.dot_general(
+                ohT, xs, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+        )
+        ohs_halves.append((drow >> 7) == iota_s)
+    tab = (
+        jnp.concatenate(tab_halves, axis=0) if LC > 128 else tab_halves[0]
+    )                                                       # (LC, 128)
+    onehot_s = (
+        jnp.concatenate(ohs_halves, axis=1) if LC > 128 else ohs_halves[0]
+    )                                                       # (GS, LC)
+
+    lcol = ent_ref[:, :].astype(jnp.int32)                  # (LC, 128)
+    vals = jnp.take_along_axis(tab, lcol, axis=1)           # (LC, 128)
+    contrib = dat_ref[:, :] * vals
+
+    o_ref[:, :] += jnp.dot(
+        onehot_s.astype(contrib.dtype), contrib,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nchunks", "ngroups", "pages_pad", "interpret")
+)
+def _pet_matvec_padded(
+    ent, dat, meta, meta_v, x_pad2d, *, nchunks, ngroups, pages_pad, interpret
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda t, m: (t, 0)),
+            pl.BlockSpec((LC, 128), lambda t, m: (t, 0)),
+            pl.BlockSpec((LC, 128), lambda t, m: (t, 0)),
+            pl.BlockSpec((WPAGES, 128), lambda t, m: (m[t] >> 16, 0)),
+        ],
+        out_specs=pl.BlockSpec((GS, 128), lambda t, m: (m[t] & 0xFFFF, 0)),
+    )
+    return pl.pallas_call(
+        _pet_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ngroups * GS, 128), jnp.float32),
+        interpret=interpret,
+    )(meta, meta_v, ent, dat, x_pad2d)
+
+
+def _on_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def pet_matvec(pet, x, interpret=None):
+    """y = A @ x with A in PET form; x 1-D of length shape[1]."""
+    n, m = pet["shape"]
+    if interpret is None:
+        interpret = not _on_tpu()
+    pages_pad = pet["pages_pad"]
+    xf = x.astype(jnp.float32)
+    x_pad = jnp.pad(xf, (0, pages_pad * 128 - m))
+    y = _pet_matvec_padded(
+        pet["ent"], pet["dat"], pet["meta"], pet["meta_v"],
+        x_pad.reshape(pages_pad, 128),
+        nchunks=pet["nchunks"], ngroups=pet["ngroups"],
+        pages_pad=pages_pad, interpret=interpret,
+    )
+    return y.reshape(-1)[:n]
+
+
+@register_pytree_node_class
+class PETOperator:
+    """General-sparsity operator backed by the Pallas PET SpMV kernel.
+
+    Built host-side from a scipy sparse matrix (one-time cost); ``rmatvec``
+    uses a second PET of the conjugate transpose.  f32 only -- f64 parity
+    runs use :class:`krylov_tpu.ops.sparse.CSROperator` on CPU.  Resolves
+    SURVEY.md §7 stage 6 / the BASELINE SpMV north star for irregular
+    sparsity (reference consumes scipy CSR implicitly,
+    reference: tests/test_solvers.py:199-209).
+    """
+
+    def __init__(self, pet, pet_t, diag, shape, interpret=None):
+        self._pet = pet
+        self._pet_t = pet_t
+        self._diag = diag
+        self.shape = tuple(shape)
+        self._interpret = interpret
+
+    @classmethod
+    def from_scipy(cls, sp, with_rmatvec=True, interpret=None):
+        pet = build_pet(sp)
+        pet_t = build_pet(sp.T.conj().tocsr()) if with_rmatvec else None
+        diag = jnp.asarray(
+            np.asarray(sp.tocsr().diagonal(), dtype=np.float32)
+        )
+        return cls(pet, pet_t, diag, sp.shape, interpret)
+
+    @property
+    def dtype(self):
+        return self._pet["dat"].dtype
+
+    @property
+    def nnz(self):
+        return self._pet["nnz"]
+
+    @property
+    def fill(self):
+        """True-nnz fraction of the streamed slot-lanes (1.0 = no padding)."""
+        return self._pet["fill"]
+
+    def __matmul__(self, x):
+        if x.ndim == 1:
+            return pet_matvec(self._pet, x, self._interpret)
+        # blocked multi-RHS: one lane-gather pipeline per column
+        cols = [
+            pet_matvec(self._pet, x[:, j], self._interpret)
+            for j in range(x.shape[1])
+        ]
+        return jnp.stack(cols, axis=1)
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        if self._pet_t is None:
+            raise ValueError("PETOperator built with with_rmatvec=False")
+        if x.ndim == 1:
+            return pet_matvec(self._pet_t, x, self._interpret)
+        cols = [
+            pet_matvec(self._pet_t, x[:, j], self._interpret)
+            for j in range(x.shape[1])
+        ]
+        return jnp.stack(cols, axis=1)
+
+    def diagonal(self):
+        return self._diag
+
+    _ARR = ("ent", "dat", "meta", "meta_v")
+
+    def tree_flatten(self):
+        pt = self._pet_t
+        children = (
+            tuple(self._pet[k] for k in self._ARR)
+            + (tuple(pt[k] for k in self._ARR) if pt else (None,) * 4)
+            + (self._diag,)
+        )
+        aux = (
+            {k: v for k, v in self._pet.items() if k not in self._ARR},
+            {k: v for k, v in pt.items() if k not in self._ARR} if pt else None,
+            self.shape,
+            self._interpret,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        pet_aux, pett_aux, shape, interpret = aux
+        pet = dict(pet_aux, **dict(zip(cls._ARR, children[0:4])))
+        pet_t = (
+            dict(pett_aux, **dict(zip(cls._ARR, children[4:8])))
+            if pett_aux is not None
+            else None
+        )
+        return cls(pet, pet_t, children[8], shape, interpret)

@@ -4,14 +4,16 @@ The reference consumes scipy's CSR matvec implicitly (reference:
 tests/test_solvers.py:199-209 accepts any ``A`` with ``@``).  Here sparse
 matrices are first-class device-resident operators:
 
-* :class:`CSROperator` — general sparsity.  The portable compute path is a
-  gather + ``segment_sum`` contraction that XLA fuses well on all backends;
-  on TPU a Pallas row-chunked kernel (:mod:`krylov_tpu.ops.pallas_spmv`) takes
-  over for large problems.
+* :class:`CSROperator` — general sparsity, portable: a gather +
+  ``segment_sum`` contraction.  NOTE: XLA lowers the x-gather to serial
+  dynamic slices on TPU (~0.06 Gnnz/s measured on v5e) — for TPU runs
+  convert to :class:`krylov_tpu.ops.pallas_spmv.PETOperator`, the Pallas
+  page-ELL kernel (~300x faster), or to a structured operator below.
 * :class:`DiaOperator` — diagonal/banded (stencil) storage: SpMV is a sum of
   shifted scaled vector reads, a pure VPU-streaming pattern that runs at HBM
   speed-of-light with no index traffic at all.  This is the preferred format
-  for the Poisson/Laplacian benchmark family.
+  for the Poisson/Laplacian benchmark family (see also the grid-stencil
+  Pallas kernels in :mod:`krylov_tpu.ops.pallas_stencil`).
 
 Both are registered pytrees, so they pass through ``jit``/``while_loop`` and
 can be sharded over a mesh (see :mod:`krylov_tpu.parallel`).

@@ -1,0 +1,119 @@
+"""PET (page-ELL tiles) Pallas CSR SpMV: correctness in interpret mode.
+
+The kernel's compiled path runs on TPU only; these tests drive the same
+kernel through the Pallas interpreter on CPU against scipy ground truth
+(reference consumes scipy CSR implicitly: tests/test_solvers.py:199-209).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+
+import krylov_tpu
+from krylov_tpu.ops.pallas_spmv import LC, PETOperator, build_pet, pet_matvec
+
+RNG = np.random.default_rng(42)
+
+
+def _irregular(n, span, dmax, seed=0):
+    rng = np.random.default_rng(seed)
+    row_nnz = rng.integers(0, dmax, n)  # includes empty rows
+    nnz = int(row_nnz.sum())
+    indptr = np.r_[0, np.cumsum(row_nnz)]
+    r = np.repeat(np.arange(n), row_nnz)
+    c = np.clip(r + rng.integers(-span, span, nnz), 0, n - 1).astype(np.int32)
+    d = rng.standard_normal(nnz)
+    return scipy.sparse.csr_matrix((d, c, indptr), shape=(n, n))
+
+
+CASES = {
+    "tridiag": scipy.sparse.diags(
+        [-1.0, 2.5, -1.0], [-1, 0, 1], shape=(300, 300), format="csr"
+    ),
+    "rect": scipy.sparse.random(257, 391, density=0.05, random_state=1,
+                                format="csr"),
+    "irregular": _irregular(1000, 200, 30),
+    "wide-span": scipy.sparse.random(500, 70000, density=0.001,
+                                     random_state=2, format="csr"),
+    "two-band": scipy.sparse.diags(
+        [1.0, 2.0, 3.0], [-40000, 0, 40000], shape=(50000, 50000),
+        format="csr"
+    ),
+    "empty": scipy.sparse.csr_matrix((130, 130)),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_pet_matvec_matches_scipy(name):
+    sp = CASES[name].astype(np.float32)
+    A = PETOperator.from_scipy(sp, interpret=True)
+    x = RNG.standard_normal(sp.shape[1]).astype(np.float32)
+    got = np.asarray(A @ jnp.asarray(x))
+    want = sp @ x
+    scale = 1 + (np.abs(want).max() if want.size else 0)
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("name", ["tridiag", "rect", "irregular"])
+def test_pet_rmatvec_matches_scipy(name):
+    sp = CASES[name].astype(np.float32)
+    A = PETOperator.from_scipy(sp, interpret=True)
+    x = RNG.standard_normal(sp.shape[0]).astype(np.float32)
+    got = np.asarray(A.rmatvec(jnp.asarray(x)))
+    want = sp.T.conj() @ x
+    scale = 1 + np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale)
+
+
+def test_pet_multi_rhs():
+    sp = CASES["irregular"].astype(np.float32)
+    A = PETOperator.from_scipy(sp, interpret=True)
+    X = RNG.standard_normal((sp.shape[1], 3)).astype(np.float32)
+    got = np.asarray(A @ jnp.asarray(X))
+    want = sp @ X
+    np.testing.assert_allclose(got, want, atol=2e-5 * (1 + np.abs(want).max()))
+
+
+def test_pet_reports_fill_and_diagonal():
+    sp = CASES["tridiag"].astype(np.float32)
+    A = PETOperator.from_scipy(sp, interpret=True)
+    assert 0 < A.fill <= 1
+    assert A.nnz == sp.nnz
+    np.testing.assert_allclose(np.asarray(A.diagonal()), sp.diagonal())
+
+
+def test_pet_operator_in_cg_solver():
+    """PETOperator plugs into the solver layer as a first-class operator."""
+    n = 400
+    sp = scipy.sparse.diags(
+        [-1.0, 2.8, -1.0], [-1, 0, 1], shape=(n, n), format="csr"
+    ).astype(np.float32)
+    A = PETOperator.from_scipy(sp, interpret=True)
+    b = jnp.asarray(RNG.standard_normal(n), jnp.float32)
+    sol, info = krylov_tpu.cg(A, b, tol=1e-5, maxiter=400)
+    assert info.success
+    r = np.asarray(b) - sp @ np.asarray(sol)
+    assert np.linalg.norm(r) <= 1e-4 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_pet_pytree_roundtrip():
+    sp = CASES["tridiag"].astype(np.float32)
+    A = PETOperator.from_scipy(sp, interpret=True)
+    leaves, treedef = jax.tree_util.tree_flatten(A)
+    A2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    x = RNG.standard_normal(sp.shape[1]).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(A2 @ jnp.asarray(x)), np.asarray(A @ jnp.asarray(x))
+    )
+
+
+def test_pet_build_reports_padding_stats():
+    pet = build_pet(CASES["irregular"].astype(np.float32))
+    dedup = CASES["irregular"].copy()
+    dedup.sum_duplicates()
+    assert pet["nnz"] == dedup.nnz
+    assert pet["nchunks"] >= 1
+    # fill = true nnz / streamed slot-lanes
+    assert abs(pet["fill"] - pet["nnz"] / (pet["nchunks"] * LC * 128)) < 1e-12

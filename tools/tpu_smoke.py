@@ -88,6 +88,28 @@ def main():
     err = np.abs(Y - dense @ np.asarray(X)).max() / (np.abs(Y).max() + 1e-9)
     check("bsr_mxu_spmm", err, 1e-5)
 
+    # 7b. PET Pallas CSR SpMV vs scipy on an irregular matrix (compiled)
+    from krylov_tpu.ops.pallas_spmv import PETOperator
+
+    npet = 1 << 16
+    row_nnz = rng.integers(5, 30, npet)
+    pnnz = int(row_nnz.sum())
+    indptr = np.zeros(npet + 1, np.int64)
+    indptr[1:] = np.cumsum(row_nnz)
+    rr = np.repeat(np.arange(npet), row_nnz)
+    cc = np.clip(rr + rng.integers(-256, 256, pnnz), 0, npet - 1)
+    sp_pet = scipy.sparse.csr_matrix(
+        (rng.standard_normal(pnnz).astype(np.float32),
+         cc.astype(np.int32), indptr),
+        shape=(npet, npet),
+    )
+    Ap = PETOperator.from_scipy(sp_pet, with_rmatvec=False, interpret=False)
+    xp = jnp.asarray(rng.standard_normal(npet), jnp.float32)
+    yp = np.asarray(Ap @ xp)
+    yw = sp_pet @ np.asarray(xp)
+    err = np.abs(yp - yw).max() / (np.abs(yw).max() + 1e-9)
+    check("pet_csr_spmv", err, 1e-5)
+
     # 7. bf16 const-stencil matvec consistency
     x16 = jnp.asarray(rng.standard_normal(Ac.grid), jnp.bfloat16)
     A16 = stencil.ConstStencilOperator(
@@ -101,7 +123,7 @@ def main():
     if failures:
         print(json.dumps({"verdict": "FAIL", "failures": failures}))
         sys.exit(1)
-    print(json.dumps({"verdict": "PASS", "checks": 7,
+    print(json.dumps({"verdict": "PASS", "checks": 8,
                       "device": getattr(jax.devices()[0], "device_kind", "?")}))
 
 
