@@ -187,6 +187,15 @@ class CallableOperatorWrapper:
         self._adj = None
         self.shape = getattr(obj, "shape", None)
         self.dtype = getattr(obj, "dtype", None)
+        if self.dtype is None and self.shape is not None:
+            # infer from a probe matvec so e.g. a complex custom operator
+            # doesn't silently get a float64 common dtype
+            try:
+                n = int(self.shape[-1])
+                probe = obj @ np.zeros(n)
+                self.dtype = np.result_type(getattr(probe, "dtype", float))
+            except Exception:
+                pass
         if self.dtype is None:
             self.dtype = np.dtype(float)
 

@@ -253,6 +253,9 @@ class GridStencilOperator(BandedOperator):
             xb = x.T.reshape(x.shape[1], M, ny)
             yb = jax.vmap(self._apply_grid)(xb)
             return yb.reshape(x.shape[1], M * ny).T
+        if x.ndim == 3 and x.shape[:2] == (M, ny):
+            # grid-shaped blocked RHS (M, ny, k)
+            return jax.vmap(self._apply_grid, in_axes=2, out_axes=2)(x)
         if x.ndim != 1:
             return BandedOperator.__matmul__(self, x)
         return self._apply_grid(x.reshape(M, ny)).reshape(x.shape)
@@ -569,6 +572,9 @@ class ConstStencilOperator:
             xb = x.T.reshape(x.shape[1], M, ny)
             yb = jax.vmap(self._apply_grid)(xb)
             return yb.reshape(x.shape[1], M * ny).T
+        if x.ndim == 3 and x.shape[:2] == (M, ny):
+            # grid-shaped blocked RHS (M, ny, k)
+            return jax.vmap(self._apply_grid, in_axes=2, out_axes=2)(x)
         if x.ndim != 1:
             raise ValueError(f"unsupported vector shape {x.shape}")
         return self._apply_grid(x.reshape(M, ny)).reshape(x.shape)

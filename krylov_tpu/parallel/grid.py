@@ -114,7 +114,17 @@ class ShardedGridStencilOperator:
         data dependency on the ``ppermute``s, so XLA schedules it while the
         halos are in flight over ICI.  Only the ``h`` boundary rows on each
         side are then recomputed from the received halos (O(h * ny) work).
+
+        Blocked multi-RHS ``(M_local, ny, k)`` vmaps the grid kernel over
+        the trailing axis (the collectives batch under vmap), preserving
+        the reference's blocked-solve capability on the fast sharded path.
         """
+        if x2.ndim == 3:
+            yb = jax.vmap(self._matvec_grid, in_axes=2, out_axes=2)(x2)
+            return yb
+        return self._matvec_grid(x2)
+
+    def _matvec_grid(self, x2):
         h = self.halo_rows
         M = x2.shape[0]
         top, bot = self.exchange_halo(x2)
@@ -200,6 +210,11 @@ class ShardedConstStencilOperator:
         return max((max(0, -min(ro)), max(0, max(ro)), 1))
 
     def __matmul__(self, x2):
+        if x2.ndim == 3:
+            return jax.vmap(self._matvec_grid, in_axes=2, out_axes=2)(x2)
+        return self._matvec_grid(x2)
+
+    def _matvec_grid(self, x2):
         h = self.halo_rows
         if h > x2.shape[0]:
             raise ValueError(

@@ -77,11 +77,17 @@ def sharded_solve(
         )
 
     # grid-stencil fast paths: 2-D layout end-to-end, Pallas kernel
-    # locally, halo exchange in grid rows (single RHS only)
+    # locally, halo exchange in grid rows; blocked multi-RHS rides the same
+    # path with a trailing column axis (vmapped local kernel)
     if (
         isinstance(A, (GridStencilOperator, ConstStencilOperator))
         and not shard_rhs
-        and (b.ndim == 1 or b.shape == A.grid)
+        and (
+            b.ndim == 1
+            or b.shape == A.grid
+            or (b.ndim == 2 and b.shape[0] == A.grid[0] * A.grid[1])
+            or (b.ndim == 3 and b.shape[:2] == A.grid)
+        )
     ):
         return _sharded_solve_grid(
             solver, A, b, mesh=mesh, x0=x0, M_diag=M_diag, tol=tol,
@@ -179,11 +185,23 @@ def sharded_solve(
 def _sharded_solve_grid(
     solver, A, b, *, mesh, x0, tol, atol, maxiter, M_diag=None, **solver_kwargs
 ):
-    """Row-partitioned solve in the grid (M, ny) layout — see parallel/grid.py."""
+    """Row-partitioned solve in the grid (M, ny[, k]) layout — see
+    parallel/grid.py.  A trailing RHS-column axis rides along unsharded."""
     n_rows = mesh.shape[ROWS]
     Mg, ny = A.grid
-    flat_in = b.ndim == 1
-    b2 = b.reshape(Mg, ny) if flat_in else b
+    # normalize b to the grid layout, remembering the caller's shape
+    flat_in = b.ndim != 3 and b.shape != A.grid
+    n_rhs = None
+    if b.ndim == 1:
+        b2 = b.reshape(Mg, ny)
+    elif b.ndim == 2 and b.shape == A.grid:
+        b2 = b
+    elif b.ndim == 2:  # flat multi-RHS (N, k)
+        n_rhs = b.shape[1]
+        b2 = b.reshape(Mg, ny, n_rhs)
+    else:  # grid multi-RHS (Mg, ny, k)
+        n_rhs = b.shape[2]
+        b2 = b
     if Mg % n_rows:
         raise ValueError(f"grid rows {Mg} not divisible by mesh rows {n_rows}")
     N = Mg * ny
@@ -192,7 +210,7 @@ def _sharded_solve_grid(
     x02 = (
         jnp.zeros_like(b2)
         if x0 is None
-        else jnp.asarray(x0).reshape(Mg, ny)
+        else jnp.asarray(x0).reshape(b2.shape)
     )
     Md2 = (
         jnp.zeros((1, 1), b2.dtype)  # placeholder, unused
@@ -215,7 +233,9 @@ def _sharded_solve_grid(
             )
 
         def inner(u, v):
-            return lax.psum(jnp.sum(jnp.conj(u) * v), ROWS)
+            # full grid contraction; per-column for blocked RHS
+            axes = (0, 1)
+            return lax.psum(jnp.sum(jnp.conj(u) * v, axis=axes), ROWS)
 
         kw = dict(solver_kwargs)
         if M_diag is not None:
@@ -237,11 +257,12 @@ def _sharded_solve_grid(
         jnp.zeros((1, 1, 1), b2.dtype) if is_const else A.coeffs2d
     )
     coeff_spec = P() if is_const else P(None, ROWS, None)
+    vec_spec = P(ROWS, *([None] * (b2.ndim - 1)))
     fn = shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(P(ROWS, None), P(ROWS, None), Md_spec, coeff_spec),
-        out_specs=(P(ROWS, None), P(), P(), P()),
+        in_specs=(vec_spec, vec_spec, Md_spec, coeff_spec),
+        out_specs=(vec_spec, P(), P(), P()),
         check_vma=False,
     )
     xk, success, numsteps, buf = jax.jit(fn)(b2, x02, Md2, coeff_arr)
@@ -250,7 +271,7 @@ def _sharded_solve_grid(
     success = bool(np.all(np.asarray(success)))
     resnorms = np.asarray(buf)[: numsteps + 1]
     if flat_in:
-        xk = xk.reshape(-1)
+        xk = xk.reshape(b.shape)
     info = Info(success, xk, numsteps, resnorms, None, None)
     return (xk if success else None), info
 

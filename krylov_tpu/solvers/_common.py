@@ -22,7 +22,10 @@ def setup(A, b, x0=None, inner=None, maxiter=None):
     # grid-shaped (M, ny) vectors of GridStencilOperator that avoid TPU
     # relayout copies; such solves need an explicit full-contraction inner
     vec_shape = getattr(A, "vector_shape", None)
-    if vec_shape is not None and tuple(b.shape) == tuple(vec_shape):
+    if vec_shape is not None and tuple(b.shape[: len(vec_shape)]) == tuple(
+        vec_shape
+    ):
+        # native vector shape, optionally with trailing blocked-RHS axes
         if inner is None:
             raise ValueError(
                 "operator-native vector shapes require an explicit inner"

@@ -36,6 +36,7 @@ CASES = {
     "gcr": ["spd", "real_unsymm"],
     "cgne": ["spd", "real_unsymm"],
     "cgnr": ["spd"],
+    "chebyshev": ["spd"],
     "richardson": ["spd"],
     "jacobi": ["spd"],
     "gauss_seidel": ["spd"],

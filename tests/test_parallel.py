@@ -447,3 +447,37 @@ def test_sharded_grid_overlap_path_matches():
     )
     assert info.success
     np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
+
+
+def test_sharded_grid_multi_rhs_matches_single_device():
+    """Blocked multi-RHS on the grid fast path (reference selling point #4 on
+    the distributed path): sharded CG with (N, 3) RHS matches single-device
+    trajectories column-for-column."""
+    A = stencil.poisson_2d(16, 16)
+    rng = np.random.default_rng(50)
+    B = jnp.asarray(rng.standard_normal((256, 3)))
+
+    sol_ref, info_ref = krylov_tpu.cg(A, B, tol=1e-10, maxiter=300)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, B, mesh=_mesh(), tol=1e-10, maxiter=300
+    )
+    assert info.success
+    assert sol.shape == (256, 3)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
+    assert info.resnorms.shape[1:] == (3,)
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-8, atol=1e-12
+    )
+
+    # grid-shaped multi-RHS and Jacobi preconditioning ride the same path
+    B3 = jnp.asarray(rng.standard_normal((16, 16, 2)))
+    M_diag = 1.0 / np.asarray(A.diagonal())
+    sol3, info3 = parallel.sharded_solve(
+        krylov_tpu.cg, A, B3, mesh=_mesh(), M_diag=M_diag,
+        tol=1e-10, maxiter=300,
+    )
+    assert info3.success
+    assert sol3.shape == (16, 16, 2)
+    r = np.asarray(B3) - np.asarray(A @ sol3)
+    assert np.linalg.norm(r) <= 1e-8 * (1 + np.linalg.norm(np.asarray(B3)))

@@ -27,7 +27,22 @@ def main():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--ny", type=int, default=4096)
     p.add_argument("--multihost", action="store_true")
+    p.add_argument(
+        "--virtual-devices", type=int, default=0,
+        help="run on N virtual CPU devices (overrides any site-configured "
+        "platform; the env var alone is not enough when a sitecustomize "
+        "pre-registers an accelerator plugin)",
+    )
     args = p.parse_args()
+
+    if args.virtual_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual_devices}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.multihost:
         from krylov_tpu.parallel import multihost
