@@ -6,8 +6,13 @@ previous ones.  One buffered implementation serves both drivers: bases live
 in fixed ``(maxiter, N, ...)`` arrays and the MGS sweep is a masked
 ``fori_loop`` (trip count k), which runs fine eagerly and under
 ``lax.while_loop``.  maxiter defaults to N (the reference loops forever when
-unconverged with maxiter=None — upstream bug).  Like the reference, no
-preconditioner (its in-source TODO).
+unconverged with maxiter=None — upstream bug).
+
+Extension beyond the reference: a (flexible) preconditioner ``M`` — the
+reference left this as an in-source TODO (reference: src/krylov/gcr.py:17).
+Search directions become ``s_k = M r_k``; since GCR orthonormalizes the
+A-images explicitly, this is the flexible variant and even non-constant
+``M`` is admissible.  ``M=None`` reduces exactly to the reference method.
 """
 
 from typing import Callable, NamedTuple, Optional
@@ -19,7 +24,7 @@ from jax import lax
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import setup
+from ._common import preconditioner, setup
 
 
 class GcrState(NamedTuple):
@@ -34,6 +39,7 @@ class GcrState(NamedTuple):
 def gcr(
     A,
     b,
+    M=None,
     x0=None,
     inner: Optional[Callable] = None,
     tol: float = 1e-5,
@@ -43,6 +49,7 @@ def gcr(
     backend: str = EAGER,
 ):
     A, b, x0_arr, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)
+    M_op = preconditioner(M)
 
     def _norm(x):
         return jnp.sqrt(ensure_real(inner(x, x), "<x, x>"))
@@ -65,7 +72,7 @@ def gcr(
 
     def step(st: GcrState, criterion) -> GcrState:
         k = st.k
-        s_new = st.r
+        s_new = (M_op @ st.r).astype(vdtype)
         v_new = jnp.asarray(A @ s_new).astype(vdtype)
 
         def mgs_body(i, carry):

@@ -1,12 +1,24 @@
 """Cross-library equivalence vs SciPy (SURVEY.md §4 mode 4).
 
 The reference compared bicg/bicgstab/cgs/qmr residual trajectories
-entry-by-entry against SciPy via the scipyx wrapper (reference:
-tests/test_qmr.py:60-121 etc.).  scipyx is not available here, so the
-trajectories are reconstructed from SciPy's per-iteration callbacks
-(explicit residuals of the callback iterates) and compared against our
-histories; mathematically identical recurrences keep these aligned to
-~1e-8 on the small well-conditioned zoo systems.
+entry-by-entry against SciPy via the scipyx wrapper, over 7 problems with
+and without (split) preconditioners (reference: tests/test_qmr.py:60-121
+etc.).  scipyx is not available here, so both libraries' trajectories are
+reconstructed the same way -- explicit residuals of the per-iteration
+callback iterates -- which keeps mathematically identical recurrences
+aligned to ~1e-8 on the small well-conditioned zoo systems.
+
+Preconditioned variants cover the conventions that provably coincide
+(verified entry-wise at 1e-12):
+
+* our ``cg(M=)``          == scipy ``cg(M=)``
+* our ``bicgstab(Mr=)``   == scipy ``bicgstab(M=)`` (scipy preconditions
+  from the right)
+* our ``cgs(M=)``         == scipy ``cgs(M=)``
+* our ``bicg(M=)``        == scipy ``bicg(M=)``
+* our ``qmr(Mr=)``        == scipy ``qmr(M2=)`` (scipy's M1 enters its
+  Lanczos differently from our Ml -- left-preconditioned QMR trajectories
+  are library-specific and deliberately not pinned)
 """
 
 import numpy as np
@@ -23,46 +35,109 @@ def _spd():
     return np.asarray(A, dtype=float), np.asarray(b, dtype=float)
 
 
+def _spd_sparse():
+    A, b = lp.spd_sparse((5,))
+    return A, np.asarray(b, dtype=float)
+
+
 def _unsym():
     A, b = lp.real_unsymmetric()
     return np.asarray(A, dtype=float), np.asarray(b, dtype=float)
 
 
+def _unsym_shifted():
+    A, b = lp.real_unsymmetric()
+    A = np.asarray(A, dtype=float) + 0.6 * np.eye(5)
+    return A, np.asarray(b, dtype=float)
+
+
+def _dense(A):
+    return A.toarray() if hasattr(A, "toarray") else A
+
+
 def _scipy_trajectory(scipy_solver, A, b, maxiter, **kw):
     """Explicit residuals of scipy's callback iterates (incl. x0 = 0)."""
+    Ad = _dense(A)
     resnorms = [np.linalg.norm(b)]
 
     def cb(xk):
-        resnorms.append(np.linalg.norm(b - A @ xk))
+        resnorms.append(np.linalg.norm(b - Ad @ xk))
 
     x, _ = scipy_solver(A, b, rtol=1e-12, atol=0.0, maxiter=maxiter,
                         callback=cb, **kw)
     return np.array(resnorms), x
 
 
-@pytest.mark.parametrize(
-    "ours,theirs,problem",
-    [
-        (krylov.cg, spla.cg, _spd),
-        (krylov.bicgstab, spla.bicgstab, _unsym),
-        (krylov.cgs, spla.cgs, _unsym),
-        (krylov.qmr, spla.qmr, _unsym),
-        (krylov.bicg, spla.bicg, _unsym),
-    ],
-)
-def test_trajectory_matches_scipy(ours, theirs, problem):
-    A, b = problem()
-    maxiter = 12
-    ref, x_ref = _scipy_trajectory(theirs, A, b, maxiter)
-    sol, info = ours(A, b, tol=1e-12, atol=0.0, maxiter=maxiter)
+def _our_trajectory(solver, A, b, maxiter, **kw):
+    """Explicit residuals of our callback iterates (same reconstruction)."""
+    Ad = _dense(A)
+    resnorms = []
 
-    m = min(len(ref), len(info.resnorms))
-    got = np.asarray(info.resnorms[:m], dtype=float)
-    # explicit-vs-recurrence residuals: entry-wise agreement to ~1e-8 on
-    # these tiny well-conditioned systems (the reference pinned 1e-11..1e-12
-    # against scipyx's internal recurrence values; callback residuals add
-    # one explicit-evaluation rounding)
-    np.testing.assert_allclose(got, ref[:m], rtol=1e-7, atol=1e-10)
+    def cb(x, r):
+        resnorms.append(np.linalg.norm(b - Ad @ np.asarray(x)))
+
+    sol, info = solver(A, b, tol=1e-12, atol=0.0, maxiter=maxiter,
+                       callback=cb, **kw)
+    return np.array(resnorms), info
+
+
+def _jacobi_ish(A):
+    d = np.abs(np.diag(_dense(A))) + 0.3
+    return np.diag(1.0 / d)
+
+
+_PROBLEMS = {
+    "spd": _spd,
+    "spd_sparse": _spd_sparse,
+    "unsym": _unsym,
+    "unsym_shifted": _unsym_shifted,
+}
+
+# (our solver, scipy solver, problem, our prec kwarg or None, scipy kwarg)
+_CASES = []
+for prob in ["spd", "spd_sparse"]:
+    _CASES.append(("cg", "cg", prob, None, None))
+    _CASES.append(("cg", "cg", prob, "M", "M"))
+for prob in ["unsym", "unsym_shifted"]:
+    _CASES.append(("bicgstab", "bicgstab", prob, None, None))
+    _CASES.append(("bicgstab", "bicgstab", prob, "Mr", "M"))
+    _CASES.append(("cgs", "cgs", prob, None, None))
+    _CASES.append(("cgs", "cgs", prob, "M", "M"))
+    _CASES.append(("bicg", "bicg", prob, None, None))
+    _CASES.append(("bicg", "bicg", prob, "M", "M"))
+    _CASES.append(("qmr", "qmr", prob, None, None))
+    _CASES.append(("qmr", "qmr", prob, "Mr", "M2"))
+
+
+@pytest.mark.parametrize(
+    "ours,theirs,prob,our_prec,sp_prec", _CASES,
+    ids=[f"{c[0]}-{c[2]}-{c[3] or 'noprec'}" for c in _CASES],
+)
+def test_trajectory_matches_scipy(ours, theirs, prob, our_prec, sp_prec):
+    A, b = _PROBLEMS[prob]()
+    maxiter = 12
+    our_kw, sp_kw = {}, {}
+    if our_prec is not None:
+        M = _jacobi_ish(A)
+        our_kw[our_prec] = M
+        if sp_prec == "M2":
+            # scipy qmr requires M1 and M2 as LinearOperators together
+            sp_kw["M1"] = spla.aslinearoperator(np.eye(A.shape[0]))
+            sp_kw["M2"] = spla.aslinearoperator(M)
+        else:
+            sp_kw[sp_prec] = M
+
+    ref, x_ref = _scipy_trajectory(getattr(spla, theirs), A, b, maxiter,
+                                   **sp_kw)
+    got, info = _our_trajectory(getattr(krylov, ours), A, b, maxiter,
+                                **our_kw)
+
+    m = min(len(ref), len(got))
+    assert m >= 3, f"trajectories too short to be meaningful: {m}"
+    # identical recurrences, identical explicit-residual reconstruction:
+    # entry-wise agreement (the reference pinned 1e-11..1e-12 against
+    # scipyx's internal recurrence values)
+    np.testing.assert_allclose(got[:m], ref[:m], rtol=1e-7, atol=1e-10)
 
     if info.success:
         np.testing.assert_allclose(

@@ -174,3 +174,39 @@ def test_orthogonalization_householder():
     _, info = krylov.gmres(A, b, tol=1.0e-12, ortho="householder")
     assert info.success
     assert np.all(info.resnorms[-1] <= 1.0e-11)
+
+
+def test_gcr_preconditioned():
+    """Preconditioned (flexible) GCR — capability-exceeding extension; the
+    reference left M as a TODO (reference: src/krylov/gcr.py:17)."""
+    rng = np.random.default_rng(9)
+    n = 40
+    d = np.linspace(1.0, 200.0, n)
+    A = np.diag(d) + 0.05 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    M = np.diag(1.0 / d)
+
+    sol_p, info_p = krylov.gcr(A, b, M=M, tol=1e-10, maxiter=n)
+    sol_n, info_n = krylov.gcr(A, b, tol=1e-10, maxiter=n)
+    assert info_p.success
+    assert_consistent(A, b, info_p, sol_p, 1e-10)
+    # preconditioning must actually help on this spectrum
+    assert info_p.numsteps <= info_n.numsteps
+
+    # M=None reduces exactly to the unpreconditioned trajectory
+    from krylov_tpu._operators import Identity
+
+    sol_i, info_i = krylov.gcr(A, b, M=Identity(), tol=1e-10, maxiter=n)
+    np.testing.assert_allclose(
+        np.asarray(info_i.resnorms), np.asarray(info_n.resnorms), rtol=1e-13
+    )
+
+    # both backends agree with M
+    sol_w, info_w = krylov.gcr(
+        A, b, M=M, tol=1e-10, maxiter=n, backend="while_loop"
+    )
+    assert info_w.numsteps == info_p.numsteps
+    np.testing.assert_allclose(
+        np.asarray(info_w.resnorms), np.asarray(info_p.resnorms),
+        rtol=1e-8, atol=1e-12,
+    )
