@@ -16,8 +16,12 @@ Triangular sweeps, by operator type:
   materialization at any size — the TPU substitute for scipy's sequential
   ``spsolve_triangular``;
 * other sparse operators — materialized densely below ``_DENSE_SWEEP_MAX``
-  rows (small-problem parity path); above that GS/SOR/SSOR are meaningful
-  as *smoothers* (hybrid block-Jacobi boundaries between shards).
+  rows (small-problem parity path); above that, the level-scheduled sweep
+  (:class:`~krylov_tpu.ops.triangular.LevelScheduledTriangularSolve`)
+  executes one data-parallel stage per dependency level — exact at any
+  size for factors whose level count is bounded (unstructured FEM/graph
+  matrices); deep chains should use the grid scan sweeps or the smoother
+  form.
 """
 
 from typing import Callable, NamedTuple, Optional
@@ -93,14 +97,39 @@ def _dense_matrix(A):
     if isinstance(op, MatrixOperator):
         return op.a
     if hasattr(op, "todense"):
-        n = op.shape[0]
-        if n > _DENSE_SWEEP_MAX:
-            raise NotImplementedError(
-                f"sparse triangular sweeps above {_DENSE_SWEEP_MAX} rows are not "
-                "materialized densely; use the smoother form or a Krylov method"
-            )
         return jnp.asarray(op.todense())
     raise ValueError("Gauss-Seidel/SOR/SSOR need a matrix (not a bare operator)")
+
+
+def _sparse_for_levels(A):
+    """Return a host scipy CSR when A is sparse and too large to densify."""
+    op = as_operator(A)
+    if isinstance(op, MatrixOperator) or not hasattr(op, "todense"):
+        return None
+    if op.shape[0] <= _DENSE_SWEEP_MAX:
+        return None
+    import scipy.sparse
+
+    if hasattr(A, "tocsr"):
+        return A.tocsr()
+    # CSROperator: rebuild host-side from its arrays
+    return scipy.sparse.csr_matrix(
+        (np.asarray(op.data), np.asarray(op.indices), np.asarray(op.indptr)),
+        shape=op.shape,
+    )
+
+
+def _level_solve(sp_csr, lower, diag_scale=None):
+    """Level-scheduled solve of the (diag-rescaled) triangle of ``sp_csr``."""
+    import scipy.sparse
+
+    from ..ops.triangular import LevelScheduledTriangularSolve
+
+    tri = (scipy.sparse.tril if lower else scipy.sparse.triu)(sp_csr).tocsr()
+    if diag_scale is not None:
+        tri = tri.copy()
+        tri.setdiag(tri.diagonal() / diag_scale)
+    return LevelScheduledTriangularSolve(tri, lower=lower)
 
 
 def _diagonal(A):
@@ -187,6 +216,10 @@ def gauss_seidel(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
         return _stationary(
             lambda r: omega * base(r), A, *args, **kwargs
         )
+    sp = _sparse_for_levels(A)
+    if sp is not None:
+        solve = _level_solve(sp, lower)
+        return _stationary(lambda r: omega * solve(r), A, *args, **kwargs)
     Ad = _dense_matrix(A)
 
     def tri_solve(y):
@@ -201,6 +234,10 @@ def sor(A, *args, omega: float = 1.0, lower: bool = True, **kwargs):
         return _stationary(
             _grid_sweep_update(A, omega, lower), A, *args, **kwargs
         )
+    sp = _sparse_for_levels(A)
+    if sp is not None:
+        solve = _level_solve(sp, lower, diag_scale=omega)
+        return _stationary(solve, A, *args, **kwargs)
     Ad = _dense_matrix(A)
     d_ = jnp.diagonal(Ad) / omega
     A_ = Ad.at[jnp.arange(Ad.shape[0]), jnp.arange(Ad.shape[0])].set(d_)
@@ -221,6 +258,19 @@ def ssor(A, *args, omega: float = 1.0, **kwargs):
         fwd = _grid_sweep_update(A, omega, True)
         bwd = _grid_sweep_update(A, omega, False)
         D = _diagonal(A)
+
+        def solve(y):
+            y = fwd(y)
+            y = y * _bcast(D, y)
+            y = bwd(y)
+            return (2 - omega) / omega * y
+
+        return _stationary(solve, A, *args, **kwargs)
+    sp = _sparse_for_levels(A)
+    if sp is not None:
+        fwd = _level_solve(sp, True, diag_scale=omega)
+        bwd = _level_solve(sp, False, diag_scale=omega)
+        D = jnp.asarray(sp.diagonal())
 
         def solve(y):
             y = fwd(y)

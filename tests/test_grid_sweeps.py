@@ -83,3 +83,68 @@ def test_grid_gs_converges_and_multi_rhs():
     B = jnp.asarray(rng.standard_normal((64, 2)))
     sol2, info2 = krylov_tpu.gauss_seidel(A, B, tol=1e-8, maxiter=2000)
     assert info2.success
+
+
+def test_level_scheduled_gs_matches_scipy_100k():
+    """GS on a 100k-row unstructured sparse system matches a scipy
+    spsolve_triangular reference trajectory (SURVEY hard part #2; the
+    8192-row dense cutoff no longer bounds general-sparse sweeps)."""
+    import scipy.sparse
+    import scipy.sparse.linalg as spla
+
+    rng = np.random.default_rng(77)
+    n = 100_000
+    k = 4  # strict-lower neighbors per row, drawn from all earlier rows
+    rows = np.repeat(np.arange(1, n), k)
+    cols = (rng.random(rows.shape[0]) * rows).astype(np.int64)
+    vals = 0.2 * rng.standard_normal(rows.shape[0])
+    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    A = (A + A.T).tocsr()
+    A.setdiag(4.0 + rng.random(n))
+    A.sum_duplicates()
+
+    b = rng.standard_normal(n)
+
+    sol, info = krylov_tpu.gauss_seidel(
+        A, jnp.asarray(b), tol=1e-6, maxiter=12, backend="while_loop"
+    )
+    assert info.success
+
+    # reference trajectory via scipy's sequential solver
+    L = scipy.sparse.tril(A).tocsr()
+    x = np.zeros(n)
+    r = b.copy()
+    ref = [np.linalg.norm(r)]
+    for _ in range(info.numsteps):
+        x = x + spla.spsolve_triangular(L, r, lower=True)
+        r = b - A @ x
+        ref.append(np.linalg.norm(r))
+    np.testing.assert_allclose(
+        np.asarray(info.resnorms), np.asarray(ref), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_level_scheduled_sor_ssor_large_sparse():
+    import scipy.sparse
+
+    rng = np.random.default_rng(78)
+    n = 9_000
+    rows = np.repeat(np.arange(1, n), 3)
+    cols = (rng.random(rows.shape[0]) * rows).astype(np.int64)
+    vals = 0.15 * rng.standard_normal(rows.shape[0])
+    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    A = (A + A.T).tocsr()
+    A.setdiag(3.0 + rng.random(n))
+    A.sum_duplicates()
+    b = rng.standard_normal(n)
+
+    for solver, kw in [
+        (krylov_tpu.sor, dict(omega=1.2)),
+        (krylov_tpu.ssor, dict(omega=1.2)),
+    ]:
+        sol, info = solver(
+            A, jnp.asarray(b), tol=1e-6, maxiter=40, backend="while_loop", **kw
+        )
+        assert info.success, solver.__name__
+        r = b - A @ np.asarray(sol)
+        assert np.linalg.norm(r) <= 1e-5 * (1 + np.linalg.norm(b))
