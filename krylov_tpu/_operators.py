@@ -237,8 +237,13 @@ def as_operator(A):
         return A
 
     if hasattr(A, "tocsr"):  # scipy sparse, without importing scipy here
+        from .ops.bsr import BSROperator, detect_blocksize
         from .ops.sparse import CSROperator
 
+        bs = detect_blocksize(A)
+        if bs is not None:
+            # block-structured: route to the MXU SpMM path
+            return BSROperator.from_scipy(A, blocksize=bs)
         return CSROperator.from_scipy(A)
 
     if not hasattr(A, "__matmul__"):

@@ -128,3 +128,39 @@ class BSROperator:
     @classmethod
     def tree_unflatten(cls, shape, children):
         return cls(*children, shape)
+
+
+def detect_blocksize(
+    sp,
+    candidates=((128, 128), (64, 64), (32, 32)),
+    min_fill=0.35,
+    min_nnz=1 << 15,
+):
+    """Detect whether a scipy sparse matrix is profitably block-structured.
+
+    Among the candidate blocksizes whose dense-block fill ratio (true nnz /
+    stored block entries) reaches ``min_fill``, returns the one with the
+    HIGHEST fill -- the SpMM is HBM-bound, so minimizing streamed padding
+    beats maximizing MXU tile size.  Returns ``None`` when no candidate
+    qualifies (scattered sparsity stays on the CSR path).
+    Cost: one O(nnz) coarsening per candidate.
+    """
+    import scipy.sparse
+
+    n, m = sp.shape
+    if sp.nnz < min_nnz:
+        return None
+    coo = sp.tocoo()
+    best, best_fill = None, min_fill
+    for R, C in candidates:
+        if n % R or m % C:
+            continue
+        coarse = scipy.sparse.csr_matrix(
+            (np.ones(sp.nnz, np.int64), (coo.row // R, coo.col // C)),
+            shape=(n // R, m // C),
+        )
+        nblocks = coarse.count_nonzero()
+        fill = sp.nnz / (nblocks * R * C) if nblocks else 0.0
+        if fill >= best_fill:
+            best, best_fill = (R, C), fill
+    return best

@@ -14,6 +14,7 @@ a single-process NumPy program — SURVEY.md §2.3):
 
 from . import multihost
 from .banded import ShardedBandedOperator
+from .bsr import ShardedBSROperator
 from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import RHS, ROWS, make_mesh, psum_inner
@@ -25,6 +26,7 @@ __all__ = [
     "ROWS",
     "RHS",
     "ShardedBandedOperator",
+    "ShardedBSROperator",
     "ShardedCSROperator",
     "ShardedConstStencilOperator",
     "ShardedGridStencilOperator",

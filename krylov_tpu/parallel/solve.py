@@ -21,9 +21,11 @@ from jax import lax, shard_map
 from jax.sharding import PartitionSpec as P
 
 from .._info import Info
+from ..ops.bsr import BSROperator
 from ..ops.sparse import CSROperator
 from ..ops.stencil import BandedOperator, ConstStencilOperator, GridStencilOperator
 from .banded import ShardedBandedOperator
+from .bsr import ShardedBSROperator
 from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import ROWS, RHS, make_mesh, psum_inner
@@ -111,6 +113,15 @@ def sharded_solve(
         make_local = partial(
             _local_banded, offsets=A.offsets, hermitian=A.hermitian
         )
+    elif isinstance(A, BSROperator):
+        nbrows = A.cols.shape[0]
+        if nbrows % n_rows:
+            raise ValueError(
+                f"{nbrows} block rows not divisible by mesh rows {n_rows}"
+            )
+        A_arrays = (A.data, A.cols)
+        A_specs = (P(ROWS, None, None), P(ROWS, None))
+        make_local = partial(_local_bsr, n_global=A.shape[1])
     else:
         if isinstance(A, CSROperator) or hasattr(A, "tocsr"):
             part = partition_csr(A, n_rows)
@@ -282,6 +293,10 @@ def _local_banded(coeffs, *, offsets, hermitian):
 
 def _local_csr(data, col, row, *, n_local, halo, mode):
     return ShardedCSROperator(data[0], col[0], row[0], n_local, halo, mode, axis=ROWS)
+
+
+def _local_bsr(data, cols, *, n_global):
+    return ShardedBSROperator(data, cols, n_global, axis=ROWS)
 
 
 def _sharded_restarted(

@@ -91,3 +91,59 @@ def test_bsr_pallas_kernel_interpret_mode():
     np.testing.assert_allclose(
         np.asarray(got), dense @ np.asarray(X), rtol=1e-5, atol=1e-5
     )
+
+
+def test_as_operator_routes_block_structured_to_bsr():
+    """Block-structured scipy matrices auto-route to the MXU BSR path."""
+    import scipy.sparse
+
+    from krylov_tpu._operators import as_operator
+    from krylov_tpu.ops.bsr import BSROperator, detect_blocksize
+    from krylov_tpu.ops.sparse import CSROperator
+
+    rng = np.random.default_rng(3)
+    n, R = 2048, 32
+    nb = n // R
+    dense = np.zeros((n, n), np.float64)
+    for i in range(nb):
+        for j in range(max(0, i - 1), min(nb, i + 2)):
+            dense[i*R:(i+1)*R, j*R:(j+1)*R] = rng.standard_normal((R, R))
+    sp = scipy.sparse.csr_matrix(dense)
+    assert detect_blocksize(sp) == (32, 32)
+    op = as_operator(sp)
+    assert isinstance(op, BSROperator)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(op @ jnp.asarray(x)), dense @ x, rtol=1e-12, atol=1e-9
+    )
+
+    # scattered sparsity stays on the CSR path
+    sp2 = scipy.sparse.random(2048, 2048, density=0.02, random_state=0,
+                              format="csr")
+    assert detect_blocksize(sp2) is None
+    assert isinstance(as_operator(sp2), CSROperator)
+
+
+def test_bsr_solver_via_as_operator():
+    """A solver fed a block-structured scipy matrix uses BSR transparently."""
+    import scipy.sparse
+
+    import krylov_tpu
+
+    rng = np.random.default_rng(4)
+    n, R = 1024, 32
+    nb = n // R
+    dense = np.zeros((n, n))
+    for i in range(nb):
+        blk = rng.standard_normal((R, R))
+        dense[i*R:(i+1)*R, i*R:(i+1)*R] = blk @ blk.T + (R + 2) * np.eye(R)
+        if i + 1 < nb:
+            c = 0.1 * rng.standard_normal((R, R))
+            dense[i*R:(i+1)*R, (i+1)*R:(i+2)*R] = c
+            dense[(i+1)*R:(i+2)*R, i*R:(i+1)*R] = c.T
+    sp = scipy.sparse.csr_matrix(dense)
+    b = rng.standard_normal(n)
+    sol, info = krylov_tpu.cg(sp, jnp.asarray(b), tol=1e-10, maxiter=600)
+    assert info.success
+    r = b - dense @ np.asarray(sol)
+    assert np.linalg.norm(r) <= 1e-9 * (1 + np.linalg.norm(b))

@@ -481,3 +481,52 @@ def test_sharded_grid_multi_rhs_matches_single_device():
     assert sol3.shape == (16, 16, 2)
     r = np.asarray(B3) - np.asarray(A @ sol3)
     assert np.linalg.norm(r) <= 1e-8 * (1 + np.linalg.norm(np.asarray(B3)))
+
+
+def test_sharded_bsr_solve_and_rmatvec():
+    """Block-structured operator sharded over the mesh (all-gather mode):
+    CG matches single-device; rmatvec matches the dense adjoint."""
+    import scipy.sparse
+
+    from krylov_tpu.ops.bsr import BSROperator
+
+    rng = np.random.default_rng(60)
+    n, R = 512, 32
+    nb = n // R
+    dense = np.zeros((n, n))
+    for i in range(nb):
+        blk = rng.standard_normal((R, R))
+        dense[i*R:(i+1)*R, i*R:(i+1)*R] = blk @ blk.T + (R + 2) * np.eye(R)
+        j = int(rng.integers(0, nb))  # a scattered off-diagonal block pair
+        c = 0.05 * rng.standard_normal((R, R))
+        dense[i*R:(i+1)*R, j*R:(j+1)*R] += c
+        dense[j*R:(j+1)*R, i*R:(i+1)*R] += c.T
+    A = BSROperator.from_scipy(scipy.sparse.csr_matrix(dense), blocksize=(R, R))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    sol_ref, info_ref = krylov_tpu.cg(A, b, tol=1e-10, maxiter=400)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(), tol=1e-10, maxiter=400
+    )
+    assert info.success
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-8)
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-8, atol=1e-12
+    )
+
+    # sharded rmatvec against the dense adjoint
+    mesh = _mesh()
+    P = jax.sharding.PartitionSpec
+    x = jnp.asarray(rng.standard_normal(n))
+    fn = jax.shard_map(
+        lambda d, c, v: parallel.ShardedBSROperator(d, c, n).rmatvec(v),
+        mesh=mesh,
+        in_specs=(P("rows", None, None), P("rows", None), P("rows")),
+        out_specs=P("rows"),
+        check_vma=False,
+    )
+    got = fn(A.data, A.cols, x)
+    np.testing.assert_allclose(
+        np.asarray(got), dense.T @ np.asarray(x), atol=1e-10
+    )

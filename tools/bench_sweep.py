@@ -186,6 +186,80 @@ def main():
         }))
         del Ac, Acs, Ab, x, b
 
+    # ---- block-structured multi-RHS: BSR (MXU SpMM) vs CSR (PET kernel)
+    if on_tpu:
+        import scipy.sparse
+
+        from krylov_tpu.ops.bsr import BSROperator
+        from krylov_tpu.ops.pallas_spmv import build_pet, _pet_matvec_padded
+
+        brng = np.random.default_rng(1)
+        R, nb = 128, 128  # 16384 rows, block tridiagonal of 128x128 blocks
+        n = R * nb
+        rows, cols, blocks = [], [], []
+        for i in range(nb):
+            for j in (i - 1, i, i + 1):
+                if 0 <= j < nb:
+                    rows.append(i); cols.append(j)
+                    blocks.append(brng.standard_normal((R, R)).astype(np.float32))
+        data = np.stack(blocks)
+        indptr = np.zeros(nb + 1, np.int64)
+        np.add.at(indptr, np.asarray(rows) + 1, 1)
+        sp_b = scipy.sparse.bsr_matrix(
+            (data, np.asarray(cols), np.cumsum(indptr)), shape=(n, n)
+        ).tocsr()
+        K_RHS = 8
+        X = jnp.asarray(brng.standard_normal((n, K_RHS)), jnp.float32)
+
+        A_bsr = BSROperator.from_scipy(sp_b, blocksize=(R, R))
+
+        @partial(jax.jit, static_argnums=3)
+        def chain_bsr(d, c, x2, K, shape=A_bsr.shape):
+            op = BSROperator(d, c, shape)
+            return lax.fori_loop(0, K, lambda i, u: (op @ u) * 1e-3 + u * 0.5, x2)
+
+        dt_b = _timed(chain_bsr, (A_bsr.data, A_bsr.cols, X), k_lo=2, k_hi=10)
+        nnz = sp_b.nnz
+        print(json.dumps({
+            "bench": "spmm_bsr_multirhs8_f32", "n_rows": n,
+            "us": round(dt_b * 1e6, 1),
+            "nnz_per_s": round(nnz / dt_b, 1),
+            "rhs_nnz_per_s": round(nnz * K_RHS / dt_b, 1), "device": kind,
+        }))
+
+        pet = build_pet(sp_b)
+
+        @partial(jax.jit, static_argnums=5)
+        def chain_pet_rhs(ent, dat, meta, meta_v, x2, K):
+            npad = pet["pages_pad"] * 128
+
+            def one(v):
+                y = _pet_matvec_padded(
+                    ent, dat, meta, meta_v, v.reshape(pet["pages_pad"], 128),
+                    nchunks=pet["nchunks"], ngroups=pet["ngroups"],
+                    pages_pad=pet["pages_pad"], interpret=False,
+                ).reshape(-1)
+                return jnp.pad(y[:n], (0, npad - n))
+
+            def body(i, u):
+                y = jax.vmap(one, in_axes=1, out_axes=1)(u)
+                return y * 1e-3 + u * 0.5
+
+            return lax.fori_loop(0, K, body, x2)
+
+        Xp = jnp.pad(X, ((0, pet["pages_pad"] * 128 - n), (0, 0)))
+        dt_p = _timed(
+            chain_pet_rhs, (pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], Xp),
+            k_lo=2, k_hi=10,
+        )
+        print(json.dumps({
+            "bench": "spmm_csrpet_multirhs8_f32", "n_rows": n,
+            "us": round(dt_p * 1e6, 1),
+            "nnz_per_s": round(nnz / dt_p, 1),
+            "rhs_nnz_per_s": round(nnz * K_RHS / dt_p, 1),
+            "bsr_speedup": round(dt_p / dt_b, 2), "device": kind,
+        }))
+
 
 if __name__ == "__main__":
     main()
