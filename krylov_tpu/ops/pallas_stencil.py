@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -62,26 +63,53 @@ def _pick_tm(M, rows_per_block, halo_rows, bytes_per_row, min_tm=8,
     )
 
 
-def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets, col_offsets, h, tm):
-    # full extended window [top halo | block | bottom halo] is materialized
-    # once; the per-band reads below are static slices of it.  bf16 inputs
-    # compute in f32: Mosaic has no bf16 lane rotate, and f32 accumulation
-    # is the right numerics anyway; cast on store.
-    if h > 0:
-        xw = jnp.concatenate([top_ref[0], x_ref[...], bot_ref[0]], axis=0)
-    else:
-        xw = x_ref[...]
-    if xw.dtype == jnp.bfloat16:
-        xw = xw.astype(jnp.float32)
+def _band_accumulate(x, c_ref, row_offsets, col_offsets, tm, get_top_row,
+                     get_bot_row):
+    """Shared band loop: sublane-roll row shifts + per-edge-row splices.
+
+    ``get_top_row(k)`` / ``get_bot_row(k)`` supply the out-of-block rows
+    (already masked/zeroed as appropriate).  bf16 inputs compute in f32:
+    Mosaic has no bf16 lane rotate, and f32 accumulation is the right
+    numerics anyway.
+    """
+    ny = x.shape[1]
+    rid = lax.broadcasted_iota(jnp.int32, (tm, ny), 0)
     acc = None
     for d, (dr, dc) in enumerate(zip(row_offsets, col_offsets)):
-        seg = xw[h + dr : h + dr + tm]
+        seg = x if dr == 0 else pltpu.roll(x, (-dr) % tm, axis=0)
+        if dr < 0:
+            # y rows [0, -dr) read x rows [dr, 0) = the top halo's tail
+            for k in range(-dr):
+                seg = jnp.where(rid == k, get_top_row(dr + k), seg)
+        elif dr > 0:
+            # y rows [tm-dr, tm) read x rows [tm, tm+dr) = the bottom halo
+            for k in range(dr):
+                seg = jnp.where(rid == tm - dr + k, get_bot_row(k), seg)
         if dc:
             # lanes j + dc == roll left by dc (wrap killed by zero boundary
-            # coefficients); pltpu.roll requires a non-negative static shift
-            seg = pltpu.roll(seg, (-dc) % seg.shape[1], axis=1)
-        term = c_ref[d].astype(seg.dtype) * seg
+            # coefficients); pltpu.roll needs a non-negative static shift
+            seg = pltpu.roll(seg, (-dc) % ny, axis=1)
+        term = c_ref[d].astype(x.dtype) * seg
         acc = term if acc is None else acc + term
+    return acc
+
+
+def _kernel(c_ref, x_ref, top_ref, bot_ref, y_ref, *, row_offsets,
+            col_offsets, h, tm):
+    # explicit pre-gathered halo planes (shard halos / h > 8 stencils)
+    x = x_ref[...]
+    if x.dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)
+
+    def top_row(off):  # off = dr + k in [-h, 0)
+        return top_ref[0, h + off : h + off + 1].astype(x.dtype)
+
+    def bot_row(k):
+        return bot_ref[0, k : k + 1].astype(x.dtype)
+
+    acc = _band_accumulate(
+        x, c_ref, row_offsets, col_offsets, tm, top_row, bot_row
+    )
     y_ref[...] = acc.astype(y_ref.dtype)
 
 
@@ -117,8 +145,11 @@ def stencil2d_matvec(
     nb = M // tm
 
     # halo planes: top[k] = x[k*tm - h : k*tm], bottom[k] = x[(k+1)*tm : +h]
-    # (zeros — or caller-provided shard halos — outside the array); built
-    # from strided slices: reads only 2*h*nb*ny elements of x
+    # (zeros -- or caller-provided shard halos -- outside the array).  The
+    # strided gather costs ~12% of the streaming-regime rate; see
+    # docs/design.md "streaming-regime bound analysis" for why the measured
+    # alternatives (x as a second operand, halo-emitting chained calls) are
+    # slower, bounding this kernel at ~77% of HBM peak in that regime.
     if h > 0:
         xr = x.reshape(nb, tm, ny)
         top0 = (
@@ -140,7 +171,8 @@ def stencil2d_matvec(
         bots = jnp.zeros((nb, 1, ny), x.dtype)
 
     kern = functools.partial(
-        _kernel, row_offsets=row_offsets, col_offsets=col_offsets, h=h, tm=tm
+        _kernel, row_offsets=row_offsets, col_offsets=col_offsets,
+        h=max(h, 1), tm=tm,
     )
     return pl.pallas_call(
         kern,
@@ -151,10 +183,12 @@ def stencil2d_matvec(
             ),
             pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, max(h, 1), ny), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, max(h, 1), ny), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
