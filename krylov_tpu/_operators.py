@@ -215,6 +215,16 @@ class CallableOperatorWrapper:
         return self._obj.diagonal()
 
 
+def _prefer_pet_for_csr(nnz):
+    """Large scattered matrices on a (f32) TPU backend go to the Pallas PET
+    kernel; f64 parity runs and small problems keep the portable CSR path."""
+    return (
+        jax.default_backend() == "tpu"
+        and not jax.config.jax_enable_x64
+        and nnz >= (1 << 16)
+    )
+
+
 def as_operator(A):
     """Normalize anything with ``@`` into an operator this library can drive.
 
@@ -244,6 +254,12 @@ def as_operator(A):
         if bs is not None:
             # block-structured: route to the MXU SpMM path
             return BSROperator.from_scipy(A, blocksize=bs)
+        if _prefer_pet_for_csr(A.nnz):
+            # on TPU the XLA gather+segment_sum CSR path is ~0.06 Gnnz/s;
+            # the Pallas page-ELL kernel is ~300x faster (f32)
+            from .ops.pallas_spmv import PETOperator
+
+            return PETOperator.from_scipy(A)
         return CSROperator.from_scipy(A)
 
     if not hasattr(A, "__matmul__"):

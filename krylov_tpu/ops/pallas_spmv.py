@@ -155,13 +155,17 @@ def _schedule_slots(slot_grp, slot_page, ngroups):
     )
 
 
-def build_pet(sp, dtype=np.float32):
+def build_pet(sp, dtype=np.float32, data_dtype=None):
     """Build PET arrays from a scipy sparse matrix (host-side, one-time).
 
     Returns a dict of device arrays + static geometry:
-      ent  (nchunks*LC, 128) int32   packed (wid, sgr, page_rel, lcol)
-      dat  (nchunks*LC, 128) dtype   matrix entries (0 in padded lanes)
-      meta (nchunks, 5) int32        [wblock, group, first, cbase0, cbase1]
+      ent    (nchunks*LC, 128) int8   in-page column index per slot-lane
+      dat    (nchunks*LC, 128)        matrix entries (0 in padded lanes);
+                                      ``data_dtype`` (e.g. bf16) halves the
+                                      value stream for mixed-precision use
+      meta   (nchunks,) int32         packed (wblock << 16 | group), SMEM
+      meta_v (nchunks*8, 128) int32   [first, cbase0, cbase1] + per-slot
+                                      descriptor words, streamed via VMEM
     plus shape/padding info and the achieved ``fill`` ratio
     (true nnz / streamed slot-lanes).
     """
@@ -283,9 +287,12 @@ def build_pet(sp, dtype=np.float32):
     meta_v = meta_v.reshape(nchunks * 8, 128)
 
     fill = nnz / float(nchunks * LC * 128)
+    dat_dev = jnp.asarray(dat)
+    if data_dtype is not None:
+        dat_dev = dat_dev.astype(data_dtype)
     return {
         "ent": jnp.asarray(ent),
-        "dat": jnp.asarray(dat),
+        "dat": dat_dev,
         "meta": jnp.asarray(meta),
         "meta_v": jnp.asarray(meta_v),
         "shape": (n, m),
@@ -340,7 +347,7 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref):
 
     lcol = ent_ref[:, :].astype(jnp.int32)                  # (LC, 128)
     vals = jnp.take_along_axis(tab, lcol, axis=1)           # (LC, 128)
-    contrib = dat_ref[:, :] * vals
+    contrib = dat_ref[:, :].astype(vals.dtype) * vals
 
     o_ref[:, :] += jnp.dot(
         onehot_s.astype(contrib.dtype), contrib,
@@ -415,9 +422,14 @@ class PETOperator:
         self._interpret = interpret
 
     @classmethod
-    def from_scipy(cls, sp, with_rmatvec=True, interpret=None):
-        pet = build_pet(sp)
-        pet_t = build_pet(sp.T.conj().tocsr()) if with_rmatvec else None
+    def from_scipy(cls, sp, with_rmatvec=True, interpret=None,
+                   data_dtype=None):
+        pet = build_pet(sp, data_dtype=data_dtype)
+        pet_t = (
+            build_pet(sp.T.conj().tocsr(), data_dtype=data_dtype)
+            if with_rmatvec
+            else None
+        )
         diag = jnp.asarray(
             np.asarray(sp.tocsr().diagonal(), dtype=np.float32)
         )

@@ -117,3 +117,32 @@ def test_pet_build_reports_padding_stats():
     assert pet["nchunks"] >= 1
     # fill = true nnz / streamed slot-lanes
     assert abs(pet["fill"] - pet["nnz"] / (pet["nchunks"] * LC * 128)) < 1e-12
+
+
+def test_pet_bf16_data_stream():
+    """bf16 value stream (3 bytes/slot-lane) for mixed-precision use, e.g.
+    as the low-precision inner operator of krylov_tpu.refine."""
+    sp = scipy.sparse.random(500, 800, density=0.02, random_state=1,
+                             format="csr").astype(np.float32)
+    A16 = PETOperator.from_scipy(sp, interpret=True, data_dtype=jnp.bfloat16)
+    assert A16.dtype == jnp.bfloat16
+    x = RNG.standard_normal(800).astype(np.float32)
+    y = np.asarray(A16 @ jnp.asarray(x))
+    want = sp @ x
+    rel = np.max(np.abs(y - want)) / (1 + np.max(np.abs(want)))
+    assert rel < 2e-2  # bf16 data rounding
+
+
+def test_tpu_routing_prefers_pet_for_large_csr(monkeypatch):
+    """On a TPU backend, large scattered scipy matrices route to the PET
+    kernel instead of the unusable XLA gather path (predicate mocked: this
+    suite runs CPU/f64, where the portable path is correct and kept)."""
+    from krylov_tpu import _operators
+
+    sp = scipy.sparse.random(2048, 2048, density=0.02, random_state=0,
+                             format="csr")
+    assert sp.nnz >= (1 << 16)
+    assert not _operators._prefer_pet_for_csr(sp.nnz)  # CPU/f64 here
+    monkeypatch.setattr(_operators, "_prefer_pet_for_csr", lambda nnz: True)
+    op = _operators.as_operator(sp)
+    assert type(op).__name__ == "PETOperator"
