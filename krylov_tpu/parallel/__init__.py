@@ -15,6 +15,7 @@ a single-process NumPy program — SURVEY.md §2.3):
 from . import multihost
 from .banded import ShardedBandedOperator
 from .bsr import ShardedBSROperator
+from .pet import PETPartition, ShardedPETOperator, partition_pet
 from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import RHS, ROWS, make_mesh, psum_inner
@@ -27,6 +28,9 @@ __all__ = [
     "RHS",
     "ShardedBandedOperator",
     "ShardedBSROperator",
+    "ShardedPETOperator",
+    "PETPartition",
+    "partition_pet",
     "ShardedCSROperator",
     "ShardedConstStencilOperator",
     "ShardedGridStencilOperator",

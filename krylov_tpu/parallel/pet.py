@@ -1,0 +1,163 @@
+"""Row-partitioned PET operator: general sparsity at TPU speed, sharded.
+
+Each shard owns a contiguous row slab of the matrix, preprocessed
+host-side into its own PET chunk arrays (:mod:`krylov_tpu.ops.pallas_spmv`);
+the iterate is ``all_gather``-ed over the mesh axis and the local slab
+SpMV runs the Pallas page-ELL kernel.  The adjoint uses per-shard PETs of
+the conjugate-transpose COLUMN slabs, whose local results are exactly the
+shard's owned rows (no reduction needed).  No reference counterpart
+(SURVEY.md §2.3): this is the distribution story for the reference's
+implicit scipy-CSR operators.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.tree_util import register_pytree_node_class
+
+from ..ops import pallas_spmv as ps
+from .mesh import ROWS
+
+_ARR = ("ent", "dat", "meta", "meta_v")
+
+
+def _pad_chunks(pet, nchunks):
+    """Pad a shard's PET to ``nchunks`` with no-op chunks (append-only:
+    the padding chunks accumulate zeros into the last group touched)."""
+    cur = pet["nchunks"]
+    if cur == nchunks:
+        return pet
+    extra = nchunks - cur
+    last_group = int(np.asarray(pet["meta"])[-1]) & 0xFFFF
+    ent = jnp.concatenate(
+        [pet["ent"], jnp.zeros((extra * ps.LC, 128), jnp.int8)], axis=0
+    )
+    dat = jnp.concatenate(
+        [pet["dat"],
+         jnp.zeros((extra * ps.LC, 128), pet["dat"].dtype)], axis=0
+    )
+    meta = jnp.concatenate(
+        [pet["meta"], jnp.full((extra,), last_group, jnp.int32)], axis=0
+    )
+    meta_v = jnp.concatenate(
+        [pet["meta_v"], jnp.zeros((extra * 8, 128), jnp.int32)], axis=0
+    )
+    return dict(pet, ent=ent, dat=dat, meta=meta, meta_v=meta_v,
+                nchunks=nchunks)
+
+
+class PETPartition(dict):
+    """Marker type: host-side PET partition accepted by ``sharded_solve``."""
+
+
+def partition_pet(sp, n_shards, data_dtype=None):
+    """Host-side partition of a scipy sparse matrix into per-shard PETs.
+
+    Returns stacked device arrays (leading shard axis) + static geometry.
+    Row count must divide evenly into shards.
+    """
+    import scipy.sparse
+
+    sp = scipy.sparse.csr_matrix(sp)
+    n, m = sp.shape
+    if n % n_shards:
+        raise ValueError(f"{n} rows not divisible by {n_shards} shards")
+    n_local = n // n_shards
+
+    pets = [
+        ps.build_pet(sp[i * n_local : (i + 1) * n_local, :],
+                     data_dtype=data_dtype)
+        for i in range(n_shards)
+    ]
+    pets_t = [
+        ps.build_pet(
+            sp[:, i * n_local : (i + 1) * n_local].T.conj().tocsr(),
+            data_dtype=data_dtype,
+        )
+        for i in range(n_shards)
+    ]
+    out = PETPartition(n_local=n_local, shape=(n, m))
+    for tag, plist in (("", pets), ("t_", pets_t)):
+        nchunks = max(p["nchunks"] for p in plist)
+        plist = [_pad_chunks(p, nchunks) for p in plist]
+        for k in _ARR:
+            out[tag + k] = jnp.stack([p[k] for p in plist])
+        # hashable static geometry (pytree aux of the sharded operator)
+        out[tag + "geom"] = (
+            nchunks, plist[0]["ngroups"], plist[0]["pages_pad"]
+        )
+    out["fill"] = float(
+        sum(p["nnz"] for p in pets)
+        / max(1, sum(p["nchunks"] * ps.LC * 128 for p in pets))
+    )
+    return out
+
+
+@register_pytree_node_class
+class ShardedPETOperator:
+    """Local row-slab PET (inside shard_map); x all-gathered over ICI."""
+
+    def __init__(self, arrays, geom, geom_t, n_local, n_global,
+                 axis=ROWS, interpret=None):
+        # arrays: dict with ent/dat/meta/meta_v and t_-prefixed adjoint set,
+        # each already LOCAL (leading shard axis stripped by shard_map)
+        self._a = arrays
+        self._geom = geom
+        self._geom_t = geom_t
+        self.n_local = int(n_local)
+        self.n_global = int(n_global)
+        self.axis = axis
+        self._interpret = interpret
+
+    @property
+    def dtype(self):
+        return self._a["dat"].dtype
+
+    @property
+    def shape(self):
+        return (self.n_local, self.n_local)  # local SPMD view
+
+    def _apply(self, prefix, geom, x_full, n_out):
+        nchunks, ngroups, pages_pad = geom
+        pet = {
+            "ent": self._a[prefix + "ent"],
+            "dat": self._a[prefix + "dat"],
+            "meta": self._a[prefix + "meta"],
+            "meta_v": self._a[prefix + "meta_v"],
+            "shape": (n_out, x_full.shape[0]),
+            "pages_pad": pages_pad,
+            "nchunks": nchunks,
+            "ngroups": ngroups,
+        }
+        interpret = (
+            jax.default_backend() != "tpu"
+            if self._interpret is None
+            else self._interpret
+        )
+        return ps.pet_matvec(pet, x_full, interpret=interpret)
+
+    def __matmul__(self, x):
+        x_full = lax.all_gather(x, self.axis, tiled=True)
+        return self._apply("", self._geom, x_full, self.n_local)
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        # adjoint row slab == column slab of A: the local PET of
+        # A[:, slab]^H maps the full x to exactly the owned rows
+        x_full = lax.all_gather(x, self.axis, tiled=True)
+        return self._apply("t_", self._geom_t, x_full, self.n_local)
+
+    def tree_flatten(self):
+        keys = tuple(self._a.keys())
+        children = tuple(self._a[k] for k in keys)
+        aux = (keys, self._geom, self._geom_t, self.n_local, self.n_global,
+               self.axis, self._interpret)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, geom, geom_t, n_local, n_global, axis, interpret = aux
+        return cls(dict(zip(keys, children)), geom, geom_t, n_local,
+                   n_global, axis=axis, interpret=interpret)

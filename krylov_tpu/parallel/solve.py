@@ -26,6 +26,7 @@ from ..ops.sparse import CSROperator
 from ..ops.stencil import BandedOperator, ConstStencilOperator, GridStencilOperator
 from .banded import ShardedBandedOperator
 from .bsr import ShardedBSROperator
+from .pet import PETPartition, ShardedPETOperator
 from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import ROWS, RHS, make_mesh, psum_inner
@@ -112,6 +113,17 @@ def sharded_solve(
         A_specs = (P(None, ROWS),)
         make_local = partial(
             _local_banded, offsets=A.offsets, hermitian=A.hermitian
+        )
+    elif isinstance(A, PETPartition):
+        keys = ["ent", "dat", "meta", "meta_v",
+                "t_ent", "t_dat", "t_meta", "t_meta_v"]
+        A_arrays = tuple(A[k] for k in keys)
+        A_specs = tuple(
+            P(ROWS, *([None] * (A[k].ndim - 1))) for k in keys
+        )
+        make_local = partial(
+            _local_pet, geom=A["geom"], geom_t=A["t_geom"],
+            n_local=A["n_local"], n_global=A["shape"][0],
         )
     elif isinstance(A, BSROperator):
         nbrows = A.cols.shape[0]
@@ -297,6 +309,14 @@ def _local_csr(data, col, row, *, n_local, halo, mode):
 
 def _local_bsr(data, cols, *, n_global):
     return ShardedBSROperator(data, cols, n_global, axis=ROWS)
+
+
+def _local_pet(*arrs, geom, geom_t, n_local, n_global):
+    keys = ["ent", "dat", "meta", "meta_v",
+            "t_ent", "t_dat", "t_meta", "t_meta_v"]
+    local = {k: a[0] for k, a in zip(keys, arrs)}
+    return ShardedPETOperator(local, geom, geom_t, n_local, n_global,
+                              axis=ROWS)
 
 
 def _sharded_restarted(
