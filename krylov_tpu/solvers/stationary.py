@@ -93,6 +93,8 @@ def _stationary(
 
 def _dense_matrix(A):
     """Materialize a dense device matrix for small triangular sweeps."""
+    if hasattr(A, "toarray") and not hasattr(A, "matvec"):  # scipy sparse
+        return jnp.asarray(A.toarray())
     op = as_operator(A)
     if isinstance(op, MatrixOperator):
         return op.a
@@ -102,21 +104,24 @@ def _dense_matrix(A):
 
 
 def _sparse_for_levels(A):
-    """Return a host scipy CSR when A is sparse and too large to densify."""
-    op = as_operator(A)
-    if isinstance(op, MatrixOperator) or not hasattr(op, "todense"):
-        return None
-    if op.shape[0] <= _DENSE_SWEEP_MAX:
-        return None
+    """Return a host scipy CSR when A is sparse and too large to densify.
+
+    Checked on the ORIGINAL input (before ``as_operator`` routing — on TPU
+    a large scipy matrix becomes a PETOperator, which carries no CSR
+    arrays to extract a triangle from)."""
     import scipy.sparse
 
-    if hasattr(A, "tocsr"):
-        return A.tocsr()
-    # CSROperator: rebuild host-side from its arrays
-    return scipy.sparse.csr_matrix(
-        (np.asarray(op.data), np.asarray(op.indices), np.asarray(op.indptr)),
-        shape=op.shape,
-    )
+    if hasattr(A, "tocsr") and not hasattr(A, "matvec"):  # scipy sparse
+        sp = A.tocsr()
+        return sp if sp.shape[0] > _DENSE_SWEEP_MAX else None
+    from ..ops.sparse import CSROperator
+
+    if isinstance(A, CSROperator) and A.shape[0] > _DENSE_SWEEP_MAX:
+        return scipy.sparse.csr_matrix(
+            (np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr)),
+            shape=A.shape,
+        )
+    return None
 
 
 def _level_solve(sp_csr, lower, diag_scale=None):
