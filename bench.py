@@ -190,7 +190,8 @@ def main():
                 y = _pet_matvec_padded(
                     ent, dat, meta, meta_v, xc,
                     nchunks=pet["nchunks"], ngroups=pet["ngroups"],
-                    pages_pad=pet["pages_pad"], interpret=False,
+                    pages_pad=pet["pages_pad"], lc=pet["lc"],
+                    interpret=False,
                 )
                 yf = y.reshape(-1)[: pet["pages_pad"] * 128] * 1e-4
                 return yf.reshape(xc.shape) + xc * 0.5

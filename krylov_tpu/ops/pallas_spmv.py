@@ -74,7 +74,7 @@ GS = 32         # subgroups (of 128 rows) per output group tile (5 bits)
 # per-slot descriptor word: pidx (6 bits) | wid << 6 | sgr << 7
 
 
-def _schedule_slots(slot_grp, slot_page, ngroups):
+def _schedule_slots(slot_grp, slot_page, ngroups, lc):
     """Greedy per-group schedule: sub-window runs, then <=2-window chunks.
 
     Returns per-slot (chunk, pos-in-chunk, wid 0/1, cbase of its window)
@@ -110,7 +110,7 @@ def _schedule_slots(slot_grp, slot_page, ngroups):
             runs.append((i, j, base))
             i = j
         # pack runs into chunks: <=LC slots, <=2 windows, one WPAGES block
-        cur_cnt, cur_wins = LC, []  # force new chunk at first slot
+        cur_cnt, cur_wins = lc, []  # force new chunk at first slot
         for (i, j, base) in runs:
             blk = base // WPAGES
             k = i
@@ -120,7 +120,7 @@ def _schedule_slots(slot_grp, slot_page, ngroups):
                     or (len(cur_wins) < 2
                         and all(bb // WPAGES == blk for (bb, _) in cur_wins))
                 )
-                if cur_cnt >= LC or not win_ok:
+                if cur_cnt >= lc or not win_ok:
                     chunks_grp.append(g)
                     chunks_wblk.append(blk)
                     cur_wins = [(base, 0)]
@@ -128,7 +128,7 @@ def _schedule_slots(slot_grp, slot_page, ngroups):
                 elif not any(b == base for (b, _) in cur_wins):
                     cur_wins.append((base, len(cur_wins)))
                 wid = next(w for (b, w) in cur_wins if b == base)
-                take = min(LC - cur_cnt, j - k)
+                take = min(lc - cur_cnt, j - k)
                 c = len(chunks_grp) - 1
                 sl = slice(lo + k, lo + k + take)
                 chunk_of[sl] = c
@@ -155,7 +155,7 @@ def _schedule_slots(slot_grp, slot_page, ngroups):
     )
 
 
-def build_pet(sp, dtype=np.float32, data_dtype=None):
+def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None):
     """Build PET arrays from a scipy sparse matrix (host-side, one-time).
 
     Returns a dict of device arrays + static geometry:
@@ -231,10 +231,15 @@ def build_pet(sp, dtype=np.float32, data_dtype=None):
         slot_grp = slot_page = np.zeros(0, np.int64)
         slot_sgr = np.zeros(0, np.int32)
 
+    if lc is None:
+        # chunk size: large chunks amortize fixed per-step costs (scattered
+        # matrices with many slots per group), small chunks avoid tail
+        # padding when groups are slot-poor (measured crossover ~1.5*LC)
+        lc = 512 if n_slots >= 384 * ngroups else 256
     (
         slot_chunk, slot_pos, slot_wid, slot_cbase,
         chunk_grp, chunk_wblk, chunk_cb0, chunk_cb1,
-    ) = _schedule_slots(slot_grp, slot_page, ngroups)
+    ) = _schedule_slots(slot_grp, slot_page, ngroups, lc)
     nchunks_data = len(chunk_grp)
 
     # groups with no entries still need one (zero) chunk so their output
@@ -267,8 +272,8 @@ def build_pet(sp, dtype=np.float32, data_dtype=None):
         meta[nchunks_data:] = extra_grps.astype(np.int32)
         meta_v[nchunks_data:, 0, 0] = 1
 
-    ent = np.zeros((nchunks * LC, 128), np.int8)
-    dat = np.zeros((nchunks * LC, 128), dtype)
+    ent = np.zeros((nchunks * lc, 128), np.int8)
+    dat = np.zeros((nchunks * lc, 128), dtype)
     if n_slots:
         prel = (slot_page - slot_cbase).astype(np.int32)
         desc = (
@@ -279,14 +284,14 @@ def build_pet(sp, dtype=np.float32, data_dtype=None):
         meta_v[
             slot_chunk, 1 + slot_pos // 128, slot_pos % 128
         ] = desc
-        srow = slot_chunk * LC + slot_pos
+        srow = slot_chunk * lc + slot_pos
         erow = srow[slot_of_entry]
         elane = lane[order2]
         ent[erow, elane] = lcol[order2].astype(np.int8)
         dat[erow, elane] = csr.data[order2]
     meta_v = meta_v.reshape(nchunks * 8, 128)
 
-    fill = nnz / float(nchunks * LC * 128)
+    fill = nnz / float(nchunks * lc * 128)
     dat_dev = jnp.asarray(dat)
     if data_dtype is not None:
         dat_dev = dat_dev.astype(data_dtype)
@@ -299,12 +304,13 @@ def build_pet(sp, dtype=np.float32, data_dtype=None):
         "nchunks": nchunks,
         "ngroups": ngroups,
         "pages_pad": pages_pad,
+        "lc": lc,
         "nnz": nnz,
         "fill": fill,
     }
 
 
-def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref):
+def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc):
     @pl.when(mv_ref[0, 0] == 1)
     def _():
         o_ref[:, :] = jnp.zeros_like(o_ref)
@@ -326,7 +332,7 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref):
     iota_q = lax.broadcasted_iota(jnp.int32, (2 * CWP, 128), 0)
     iota_s = lax.broadcasted_iota(jnp.int32, (GS, 128), 0)
     tab_halves, ohs_halves = [], []
-    for i in range(LC // 128):
+    for i in range(lc // 128):
         drow = mv[1 + i : 2 + i, :]                         # (1, 128)
         pw = (drow & (CWP - 1)) + ((drow >> 6) & 1) * CWP
         ohT = (pw == iota_q).astype(xs.dtype)               # (2*CWP, 128)
@@ -339,10 +345,10 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref):
         )
         ohs_halves.append((drow >> 7) == iota_s)
     tab = (
-        jnp.concatenate(tab_halves, axis=0) if LC > 128 else tab_halves[0]
+        jnp.concatenate(tab_halves, axis=0) if lc > 128 else tab_halves[0]
     )                                                       # (LC, 128)
     onehot_s = (
-        jnp.concatenate(ohs_halves, axis=1) if LC > 128 else ohs_halves[0]
+        jnp.concatenate(ohs_halves, axis=1) if lc > 128 else ohs_halves[0]
     )                                                       # (GS, LC)
 
     lcol = ent_ref[:, :].astype(jnp.int32)                  # (LC, 128)
@@ -357,24 +363,26 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nchunks", "ngroups", "pages_pad", "interpret")
+    jax.jit,
+    static_argnames=("nchunks", "ngroups", "pages_pad", "lc", "interpret"),
 )
 def _pet_matvec_padded(
-    ent, dat, meta, meta_v, x_pad2d, *, nchunks, ngroups, pages_pad, interpret
+    ent, dat, meta, meta_v, x_pad2d, *, nchunks, ngroups, pages_pad, lc,
+    interpret,
 ):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nchunks,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda t, m: (t, 0)),
-            pl.BlockSpec((LC, 128), lambda t, m: (t, 0)),
-            pl.BlockSpec((LC, 128), lambda t, m: (t, 0)),
+            pl.BlockSpec((lc, 128), lambda t, m: (t, 0)),
+            pl.BlockSpec((lc, 128), lambda t, m: (t, 0)),
             pl.BlockSpec((WPAGES, 128), lambda t, m: (m[t] >> 16, 0)),
         ],
         out_specs=pl.BlockSpec((GS, 128), lambda t, m: (m[t] & 0xFFFF, 0)),
     )
     return pl.pallas_call(
-        _pet_kernel,
+        functools.partial(_pet_kernel, lc=lc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ngroups * GS, 128), jnp.float32),
         interpret=interpret,
@@ -397,7 +405,7 @@ def pet_matvec(pet, x, interpret=None):
         pet["ent"], pet["dat"], pet["meta"], pet["meta_v"],
         x_pad.reshape(pages_pad, 128),
         nchunks=pet["nchunks"], ngroups=pet["ngroups"],
-        pages_pad=pages_pad, interpret=interpret,
+        pages_pad=pages_pad, lc=pet.get("lc", LC), interpret=interpret,
     )
     return y.reshape(-1)[:n]
 

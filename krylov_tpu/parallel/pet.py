@@ -29,13 +29,14 @@ def _pad_chunks(pet, nchunks):
     if cur == nchunks:
         return pet
     extra = nchunks - cur
+    lc = pet["lc"]
     last_group = int(np.asarray(pet["meta"])[-1]) & 0xFFFF
     ent = jnp.concatenate(
-        [pet["ent"], jnp.zeros((extra * ps.LC, 128), jnp.int8)], axis=0
+        [pet["ent"], jnp.zeros((extra * lc, 128), jnp.int8)], axis=0
     )
     dat = jnp.concatenate(
         [pet["dat"],
-         jnp.zeros((extra * ps.LC, 128), pet["dat"].dtype)], axis=0
+         jnp.zeros((extra * lc, 128), pet["dat"].dtype)], axis=0
     )
     meta = jnp.concatenate(
         [pet["meta"], jnp.full((extra,), last_group, jnp.int32)], axis=0
@@ -65,18 +66,22 @@ def partition_pet(sp, n_shards, data_dtype=None):
         raise ValueError(f"{n} rows not divisible by {n_shards} shards")
     n_local = n // n_shards
 
-    pets = [
-        ps.build_pet(sp[i * n_local : (i + 1) * n_local, :],
-                     data_dtype=data_dtype)
-        for i in range(n_shards)
-    ]
-    pets_t = [
-        ps.build_pet(
+    # all shards must share one chunk size (the arrays are stacked); the
+    # first shard's auto-pick decides
+    pets, lc = [], None
+    for i in range(n_shards):
+        pet = ps.build_pet(sp[i * n_local : (i + 1) * n_local, :],
+                           data_dtype=data_dtype, lc=lc)
+        lc = pet["lc"]
+        pets.append(pet)
+    pets_t, lc_t = [], None
+    for i in range(n_shards):
+        pet = ps.build_pet(
             sp[:, i * n_local : (i + 1) * n_local].T.conj().tocsr(),
-            data_dtype=data_dtype,
+            data_dtype=data_dtype, lc=lc_t,
         )
-        for i in range(n_shards)
-    ]
+        lc_t = pet["lc"]
+        pets_t.append(pet)
     out = PETPartition(n_local=n_local, shape=(n, m))
     for tag, plist in (("", pets), ("t_", pets_t)):
         nchunks = max(p["nchunks"] for p in plist)
@@ -85,11 +90,12 @@ def partition_pet(sp, n_shards, data_dtype=None):
             out[tag + k] = jnp.stack([p[k] for p in plist])
         # hashable static geometry (pytree aux of the sharded operator)
         out[tag + "geom"] = (
-            nchunks, plist[0]["ngroups"], plist[0]["pages_pad"]
+            nchunks, plist[0]["ngroups"], plist[0]["pages_pad"],
+            plist[0]["lc"],
         )
     out["fill"] = float(
         sum(p["nnz"] for p in pets)
-        / max(1, sum(p["nchunks"] * ps.LC * 128 for p in pets))
+        / max(1, sum(p["nchunks"] * p["lc"] * 128 for p in pets))
     )
     return out
 
@@ -119,7 +125,7 @@ class ShardedPETOperator:
         return (self.n_local, self.n_local)  # local SPMD view
 
     def _apply(self, prefix, geom, x_full, n_out):
-        nchunks, ngroups, pages_pad = geom
+        nchunks, ngroups, pages_pad, lc = geom
         pet = {
             "ent": self._a[prefix + "ent"],
             "dat": self._a[prefix + "dat"],
@@ -129,6 +135,7 @@ class ShardedPETOperator:
             "pages_pad": pages_pad,
             "nchunks": nchunks,
             "ngroups": ngroups,
+            "lc": lc,
         }
         interpret = (
             jax.default_backend() != "tpu"

@@ -12,7 +12,7 @@ import pytest
 import scipy.sparse
 
 import krylov_tpu
-from krylov_tpu.ops.pallas_spmv import LC, PETOperator, build_pet, pet_matvec
+from krylov_tpu.ops.pallas_spmv import PETOperator, build_pet, pet_matvec
 
 RNG = np.random.default_rng(42)
 
@@ -116,7 +116,7 @@ def test_pet_build_reports_padding_stats():
     assert pet["nnz"] == dedup.nnz
     assert pet["nchunks"] >= 1
     # fill = true nnz / streamed slot-lanes
-    assert abs(pet["fill"] - pet["nnz"] / (pet["nchunks"] * LC * 128)) < 1e-12
+    assert abs(pet["fill"] - pet["nnz"] / (pet["nchunks"] * pet["lc"] * 128)) < 1e-12
 
 
 def test_pet_bf16_data_stream():

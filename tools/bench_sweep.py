@@ -237,7 +237,8 @@ def main():
                 y = _pet_matvec_padded(
                     ent, dat, meta, meta_v, v.reshape(pet["pages_pad"], 128),
                     nchunks=pet["nchunks"], ngroups=pet["ngroups"],
-                    pages_pad=pet["pages_pad"], interpret=False,
+                    pages_pad=pet["pages_pad"], lc=pet["lc"],
+                    interpret=False,
                 ).reshape(-1)
                 return jnp.pad(y[:n], (0, npad - n))
 
