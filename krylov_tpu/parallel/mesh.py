@@ -67,3 +67,23 @@ def psum_inner(b_shape, axis=ROWS):
         return lax.psum(jnp.einsum("i...,i...->...", jnp.conj(x), y), axis)
 
     return inner_einsum
+
+
+def psum_fused_inner(axis=ROWS):
+    """Fused multi-inner-product: ONE ``psum`` for a whole batch of pairs.
+
+    For solvers that expose a ``fused_inner`` injection point (pipelined
+    CG), all of an iteration's scalars travel in a single stacked
+    collective instead of one allreduce each — the latency optimization
+    that motivates the pipelined recurrences in the first place.  Must be
+    called inside ``shard_map``; full-contraction (per-vector scalars).
+    """
+
+    def fused(pairs):
+        locs = jnp.stack(
+            [jnp.sum(jnp.conj(a) * c) for (a, c) in pairs]
+        )
+        tot = lax.psum(locs, axis)
+        return tuple(tot[i] for i in range(len(pairs)))
+
+    return fused

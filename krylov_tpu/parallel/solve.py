@@ -29,7 +29,7 @@ from .bsr import ShardedBSROperator
 from .pet import PETPartition, ShardedPETOperator
 from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
-from .mesh import ROWS, RHS, make_mesh, psum_inner
+from .mesh import ROWS, RHS, make_mesh, psum_fused_inner, psum_inner
 
 
 def sharded_solve(
@@ -115,6 +115,12 @@ def sharded_solve(
             _local_banded, offsets=A.offsets, hermitian=A.hermitian
         )
     elif isinstance(A, PETPartition):
+        n_parts = A["ent"].shape[0]
+        if n_parts != n_rows:
+            raise ValueError(
+                f"PET partition built for {n_parts} shards but the mesh "
+                f"rows axis has {n_rows} devices"
+            )
         keys = ["ent", "dat", "meta", "meta_v",
                 "t_ent", "t_dat", "t_meta", "t_meta_v"]
         A_arrays = tuple(A[k] for k in keys)
@@ -152,10 +158,17 @@ def sharded_solve(
             mode=part["mode"],
         )
 
+    import inspect
+
+    accepts_fused = "fused_inner" in inspect.signature(solver).parameters
+
     def local_solve(b_l, x0_l, Md_l, *A_l):
         A_op = make_local(*A_l)
         inner = psum_inner(b_l.shape, ROWS)
         kw = dict(solver_kwargs)
+        if accepts_fused and "fused_inner" not in kw:
+            # pipelined solvers: all of an iteration's scalars in ONE psum
+            kw["fused_inner"] = psum_fused_inner(ROWS)
         if M_diag is not None:
             from .._operators import DiagonalOperator
 
@@ -260,7 +273,14 @@ def _sharded_solve_grid(
             axes = (0, 1)
             return lax.psum(jnp.sum(jnp.conj(u) * v, axis=axes), ROWS)
 
+        import inspect
+
         kw = dict(solver_kwargs)
+        if (
+            "fused_inner" in inspect.signature(solver).parameters
+            and "fused_inner" not in kw
+        ):
+            kw["fused_inner"] = psum_fused_inner(ROWS)
         if M_diag is not None:
             from .._operators import DiagonalOperator
 

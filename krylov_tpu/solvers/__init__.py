@@ -10,6 +10,7 @@ from .chebyshev import chebyshev
 from .gcr import gcr
 from .gmres import gmres
 from .minres import minres
+from .pipelined import cg_pipelined
 from .qmr import qmr
 from .refine import refine
 from .stationary import gauss_seidel, jacobi, richardson, sor, ssor
@@ -25,6 +26,7 @@ __all__ = [
     "bicg",
     "bicgstab",
     "cg",
+    "cg_pipelined",
     "cg_stencil",
     "cgne",
     "cgnr",
