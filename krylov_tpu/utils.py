@@ -22,6 +22,7 @@ __all__ = [
     "strakos",
     "gap",
     "NormalizedRootsPolynomial",
+    "estimate_spectrum",
 ]
 
 
@@ -235,3 +236,44 @@ class NormalizedRootsPolynomial:
         order = np.argsort(np.abs(factors), axis=0)[self._interleave]
         out = np.prod(np.take_along_axis(factors, order, axis=0), axis=0)
         return out.item() if pts.ndim == 0 else out
+
+
+def estimate_spectrum(A, n=None, iters=30, safety=1.05, seed=0, M=None):
+    """Estimate the extreme eigenvalues of a Hermitian operator.
+
+    Runs ``iters`` steps of the Lanczos process (the same recurrence the
+    solvers use) and returns ``(lmin / safety, lmax * safety)`` from the
+    Ritz values of the tridiagonal section — widened bounds suitable as
+    ``chebyshev(..., eigenvalue_estimates=...)``.  A convenience with no
+    reference counterpart (the reference requires the caller to supply
+    estimates, reference: src/krylov/chebyshev.py:15).
+
+    ``n`` (matrix dimension) is needed only when ``A`` does not expose
+    ``shape``.
+    """
+    import numpy as np
+
+    from .arnoldi import ArnoldiLanczos
+
+    dim = A.shape[0] if hasattr(A, "shape") else n
+    if dim is None:
+        raise ArgumentError("pass n= for operators without .shape")
+    rng = np.random.default_rng(seed)
+    v0 = jnp.asarray(rng.standard_normal(dim))
+    it = ArnoldiLanczos(A, v0, M=M)
+    alphas, betas = [], []
+    for _ in range(min(iters, dim)):
+        if it.is_invariant:
+            break
+        _, h, _ = next(it)
+        alphas.append(float(np.real(np.asarray(h[1]))))
+        betas.append(float(np.real(np.asarray(h[2]))))
+    k = len(alphas)
+    T = np.diag(alphas)
+    for i in range(k - 1):
+        T[i, i + 1] = T[i + 1, i] = betas[i]
+    ritz = np.linalg.eigvalsh(T)
+    lmin, lmax = float(ritz[0]), float(ritz[-1])
+    # Lanczos converges to extreme eigenvalues from the inside: widen
+    lo = lmin / safety if lmin > 0 else lmin * safety
+    return lo, lmax * safety

@@ -137,3 +137,23 @@ def test_normalized_roots_polynomial(roots):
         assert_almost_equal(
             np.max(np.abs(p(interval))), np.max(np.abs(p(c))), decimal=4
         )
+
+
+def test_estimate_spectrum_bounds_chebyshev():
+    """Lanczos-based spectrum estimation (extension: the reference makes
+    the caller supply chebyshev's eigenvalue_estimates)."""
+    import krylov_tpu
+    from krylov_tpu.ops import stencil
+
+    A = stencil.poisson_2d(16, 16)  # spectrum inside (0, 8)
+    lo, hi = krylov_tpu.utils.estimate_spectrum(A, iters=40)
+    assert 0 < lo < hi <= 8.5
+
+    rng = np.random.default_rng(3)
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rng.standard_normal(256))
+    sol, info = krylov_tpu.chebyshev(
+        A, b, eigenvalue_estimates=(lo, hi), tol=1e-6, maxiter=3000
+    )
+    assert info.success
