@@ -87,3 +87,14 @@ def psum_fused_inner(axis=ROWS):
         return tuple(tot[i] for i in range(len(pairs)))
 
     return fused
+
+
+def psum_block_inner(axis=ROWS):
+    """Mesh-aware (k, k) block inner product: one psum per contraction."""
+
+    def block(U, V):
+        return lax.psum(
+            jnp.einsum("...k,...l->kl", jnp.conj(U), V), axis
+        )
+
+    return block

@@ -29,7 +29,9 @@ from .bsr import ShardedBSROperator
 from .pet import PETPartition, ShardedPETOperator
 from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
-from .mesh import ROWS, RHS, make_mesh, psum_fused_inner, psum_inner
+from .mesh import (
+    ROWS, RHS, make_mesh, psum_block_inner, psum_fused_inner, psum_inner,
+)
 
 
 def sharded_solve(
@@ -160,7 +162,9 @@ def sharded_solve(
 
     import inspect
 
-    accepts_fused = "fused_inner" in inspect.signature(solver).parameters
+    _params = inspect.signature(solver).parameters
+    accepts_fused = "fused_inner" in _params
+    accepts_block = "block_inner" in _params
 
     def local_solve(b_l, x0_l, Md_l, *A_l):
         A_op = make_local(*A_l)
@@ -169,6 +173,9 @@ def sharded_solve(
         if accepts_fused and "fused_inner" not in kw:
             # pipelined solvers: all of an iteration's scalars in ONE psum
             kw["fused_inner"] = psum_fused_inner(ROWS)
+        if accepts_block and "block_inner" not in kw:
+            # block solvers: (k, k) Gram contractions, one psum each
+            kw["block_inner"] = psum_block_inner(ROWS)
         if M_diag is not None:
             from .._operators import DiagonalOperator
 
@@ -276,11 +283,11 @@ def _sharded_solve_grid(
         import inspect
 
         kw = dict(solver_kwargs)
-        if (
-            "fused_inner" in inspect.signature(solver).parameters
-            and "fused_inner" not in kw
-        ):
+        _gp = inspect.signature(solver).parameters
+        if "fused_inner" in _gp and "fused_inner" not in kw:
             kw["fused_inner"] = psum_fused_inner(ROWS)
+        if "block_inner" in _gp and "block_inner" not in kw:
+            kw["block_inner"] = psum_block_inner(ROWS)
         if M_diag is not None:
             from .._operators import DiagonalOperator
 

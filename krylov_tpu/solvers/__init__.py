@@ -1,5 +1,6 @@
 from .bicg import bicg
 from .bicgstab import bicgstab
+from .block import cg_block
 from .cg import cg
 from .cg_stencil import cg_stencil
 from .cgne import cgne
@@ -26,6 +27,7 @@ __all__ = [
     "bicg",
     "bicgstab",
     "cg",
+    "cg_block",
     "cg_pipelined",
     "cg_stencil",
     "cgne",
