@@ -15,6 +15,7 @@ from . import diffable, ops, utils
 from .__about__ import __version__
 from ._info import Info
 from ._operators import (
+    ChebyshevPreconditioner,
     DiagonalOperator,
     Identity,
     Product,
@@ -43,6 +44,7 @@ __all__ = [
     "givens",
     "Identity",
     "DiagonalOperator",
+    "ChebyshevPreconditioner",
     "jacobi_preconditioner",
     "Product",
     "as_operator",

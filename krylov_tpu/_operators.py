@@ -266,3 +266,65 @@ def as_operator(A):
         raise ValueError(f"Unknown linear operator A = {A}")
 
     return CallableOperatorWrapper(A)
+
+
+@register_pytree_node_class
+class ChebyshevPreconditioner:
+    """Polynomial preconditioner ``M r ~= A^{-1} r`` of fixed degree.
+
+    Runs ``degree`` steps of the Chebyshev semi-iteration (the same
+    recurrence as :func:`krylov_tpu.chebyshev`, from a zero initial guess)
+    entirely with matvecs — no inner products, hence NO reductions: when
+    sharded, a degree-m application costs m halo exchanges but zero
+    allreduces, shifting the compute/latency balance of outer Krylov
+    iterations (one CG iteration then does m+1 matvecs of work per 2
+    psums).  Extension beyond the reference; pairs with
+    :func:`krylov_tpu.utils.estimate_spectrum` for the interval.
+
+    The induced polynomial is SPD-preserving on ``[lmin, lmax]`` (it
+    approximates 1/lambda positively), so it is a valid CG/MINRES ``M``.
+    """
+
+    def __init__(self, A, interval, degree=8):
+        self.A = as_operator(A)
+        self.lmin, self.lmax = float(interval[0]), float(interval[1])
+        self.degree = int(degree)
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def dtype(self):
+        return getattr(self.A, "dtype", np.dtype(float))
+
+    def __matmul__(self, r):
+        d = (self.lmax + self.lmin) / 2.0
+        c = (self.lmax - self.lmin) / 2.0
+        x = jnp.zeros_like(r)
+        p = jnp.zeros_like(r)
+        rk = r
+        alpha_prev = 0.0
+        for k in range(self.degree):
+            factor = 0.25 if k > 1 else 0.5
+            beta = 0.0 if k == 0 else factor * (c * alpha_prev) ** 2
+            alpha = 1.0 / (d - (beta / alpha_prev if k else 0.0))
+            p = rk + beta * p
+            x = x + alpha * p
+            rk = rk - alpha * jnp.asarray(self.A @ p)
+            alpha_prev = alpha
+        return x
+
+    matvec = __matmul__
+
+    def rmatvec(self, r):
+        # polynomial in a Hermitian A is Hermitian
+        return self @ r
+
+    def tree_flatten(self):
+        return (self.A,), (self.lmin, self.lmax, self.degree)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        lmin, lmax, degree = aux
+        return cls(children[0], (lmin, lmax), degree)

@@ -85,3 +85,30 @@ def test_nan_debug_mode():
     with jax.debug_nans(True):
         sol, info = krylov_tpu.cg(A, b, tol=1e-10)
     assert info.success
+
+
+def test_chebyshev_polynomial_preconditioner():
+    """Fixed-degree Chebyshev polynomial preconditioner: reduction-free M
+    applications (matvecs only) that substantially cut outer iterations."""
+    import krylov_tpu
+    from krylov_tpu.ops import stencil
+
+    A = stencil.poisson_2d(32, 32)
+    lo, hi = krylov_tpu.utils.estimate_spectrum(A, iters=40)
+    M = krylov_tpu.ChebyshevPreconditioner(A, (lo, hi), degree=6)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(1024))
+
+    sol_p, info_p = krylov_tpu.cg(A, b, M=M, tol=1e-9, maxiter=400)
+    sol_n, info_n = krylov_tpu.cg(A, b, tol=1e-9, maxiter=400)
+    assert info_p.success
+    assert info_p.numsteps * 2 < info_n.numsteps
+    r = np.linalg.norm(np.asarray(b) - np.asarray(A @ sol_p))
+    assert r <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+
+    # compiled backend and minres compatibility
+    sol_w, info_w = krylov_tpu.cg(
+        A, b, M=M, tol=1e-9, maxiter=400, backend="while_loop"
+    )
+    assert info_w.numsteps == info_p.numsteps
+    sol_m, info_m = krylov_tpu.minres(A, b, M=M, tol=1e-8, maxiter=400)
+    assert info_m.success
