@@ -218,7 +218,7 @@ def main():
             op = BSROperator(d, c, shape)
             return lax.fori_loop(0, K, lambda i, u: (op @ u) * 1e-3 + u * 0.5, x2)
 
-        dt_b = _timed(chain_bsr, (A_bsr.data, A_bsr.cols, X), k_lo=2, k_hi=10)
+        dt_b = _timed(chain_bsr, (A_bsr.data, A_bsr.cols, X), k_lo=8, k_hi=2056)
         nnz = sp_b.nnz
         print(json.dumps({
             "bench": "spmm_bsr_multirhs8_f32", "n_rows": n,
@@ -251,7 +251,7 @@ def main():
         Xp = jnp.pad(X, ((0, pet["pages_pad"] * 128 - n), (0, 0)))
         dt_p = _timed(
             chain_pet_rhs, (pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], Xp),
-            k_lo=2, k_hi=10,
+            k_lo=8, k_hi=72,
         )
         print(json.dumps({
             "bench": "spmm_csrpet_multirhs8_f32", "n_rows": n,
