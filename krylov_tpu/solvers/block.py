@@ -47,11 +47,15 @@ def _default_block_inner(U, V):
 
 
 def _ridge_solve(Gram, RHS):
-    """Solve Gram @ Y = RHS with a relative ridge for near-singular Gram."""
+    """Solve Gram @ Y = RHS with a RELATIVE ridge for near-singular Gram.
+
+    The ridge must scale with the Gram itself: near convergence the Gram
+    entries are ~resnorm^2 (tiny), and any absolute floor would swamp them
+    and stall the recurrence at a spurious accuracy floor."""
     k = Gram.shape[0]
     scale = jnp.real(jnp.trace(Gram)) / k
     eps = jnp.asarray(1e-14, jnp.real(Gram).dtype)
-    ridge = jnp.maximum(scale, 1.0) * eps
+    ridge = jnp.where(scale > 0, scale, 1.0) * eps
     return jnp.linalg.solve(Gram + ridge * jnp.eye(k, dtype=Gram.dtype), RHS)
 
 

@@ -76,3 +76,19 @@ def test_block_cg_sharded():
     assert info.numsteps == info_ref.numsteps
     np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref),
                                atol=1e-6)
+
+
+def test_block_cg_complex_hpd():
+    """Complex HPD systems (the reference zoo's hpd family) converge to
+    tight tolerance; the relative ridge must not create an absolute
+    accuracy floor near convergence."""
+    rng = np.random.default_rng(9)
+    n = 40
+    Q = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = Q @ Q.conj().T + n * np.eye(n)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    B = np.stack([b, b[::-1]], axis=1)
+    sol, info = krylov_tpu.cg_block(A, B, tol=1e-10, maxiter=120)
+    assert info.success
+    R = B - A @ np.asarray(sol)
+    assert np.max(np.abs(R)) <= 1e-8
