@@ -50,8 +50,12 @@ def sharded_solve(
 ):
     """Solve ``A x = b`` with ``solver`` row-partitioned over ``mesh``.
 
-    * ``A`` — a :class:`~krylov_tpu.ops.stencil.BandedOperator`, a
-      :class:`~krylov_tpu.ops.CSROperator`, or a scipy sparse matrix.
+    * ``A`` — a :class:`~krylov_tpu.ops.stencil.BandedOperator` /
+      :class:`GridStencilOperator` / :class:`ConstStencilOperator`, a
+      :class:`~krylov_tpu.ops.CSROperator` or scipy sparse matrix, a
+      :class:`~krylov_tpu.ops.bsr.BSROperator`, or a
+      :class:`~krylov_tpu.parallel.pet.PETPartition` from
+      :func:`partition_pet` (general sparsity on the Pallas PET kernel).
     * ``solver`` — any krylov_tpu solver accepting ``(A, b, inner=, x0=,
       backend=)`` (cg, minres, gmres, ...).
     * ``mesh`` — a ``(rows[, rhs])`` mesh from :func:`make_mesh` (default:
