@@ -203,7 +203,7 @@ def main():
             2, 18, 3,
         )
         pet_nnz = pet["nnz"]
-        slot_bytes = pet["nchunks"] * 128 * 256 * 5  # int8 lcol + f32 data
+        slot_bytes = pet["nchunks"] * 128 * pet["lc"] * 5  # int8 lcol + f32 data
         extras["csr_pet_spmv_us"] = round(dtp * 1e6, 2)
         extras["csr_pet_nnz_per_s"] = round(pet_nnz / dtp, 1)
         extras["csr_pet_fill"] = round(pet["fill"], 4)

@@ -186,18 +186,26 @@ class CallableOperatorWrapper:
         self._obj = obj
         self._adj = None
         self.shape = getattr(obj, "shape", None)
-        self.dtype = getattr(obj, "dtype", None)
-        if self.dtype is None and self.shape is not None:
-            # infer from a probe matvec so e.g. a complex custom operator
-            # doesn't silently get a float64 common dtype
-            try:
-                n = int(self.shape[-1])
-                probe = obj @ np.zeros(n)
-                self.dtype = np.result_type(getattr(probe, "dtype", float))
-            except Exception:
-                pass
-        if self.dtype is None:
-            self.dtype = np.dtype(float)
+        self._dtype = getattr(obj, "dtype", None)
+
+    @property
+    def dtype(self):
+        if self._dtype is None:
+            # infer LAZILY from a probe matvec (so solves that never read
+            # the dtype pay nothing) -- e.g. a complex custom operator must
+            # not silently get a float64 common dtype
+            if self.shape is not None:
+                try:
+                    n = int(self.shape[-1])
+                    probe = self._obj @ np.zeros(n)
+                    self._dtype = np.result_type(
+                        getattr(probe, "dtype", float)
+                    )
+                except Exception:
+                    pass
+            if self._dtype is None:
+                self._dtype = np.dtype(float)
+        return self._dtype
 
     def __matmul__(self, x):
         return self._obj @ x
@@ -215,14 +223,27 @@ class CallableOperatorWrapper:
         return self._obj.diagonal()
 
 
-def _prefer_pet_for_csr(nnz):
-    """Large scattered matrices on a (f32) TPU backend go to the Pallas PET
-    kernel; f64 parity runs and small problems keep the portable CSR path."""
+def _pet_eligible_matrix(A):
+    """PET handles large REAL matrices only (it is f32-only: routing a
+    complex matrix would silently drop the imaginary parts)."""
+    return A.nnz >= (1 << 16) and not np.iscomplexobj(
+        getattr(A, "data", np.zeros(0))
+    )
+
+
+def _prefer_pet_for_csr(A):
+    """Eligible matrices on a (f32) TPU backend go to the Pallas PET
+    kernel; f64 parity runs keep the portable CSR path."""
     return (
         jax.default_backend() == "tpu"
         and not jax.config.jax_enable_x64
-        and nnz >= (1 << 16)
+        and _pet_eligible_matrix(A)
     )
+
+
+# auto-routed PET operators are cached per scipy object: as_operator runs on
+# every solve call, and the PET build is an O(nnz) host-side pass
+_PET_ROUTE_CACHE = {}
 
 
 def as_operator(A):
@@ -254,12 +275,24 @@ def as_operator(A):
         if bs is not None:
             # block-structured: route to the MXU SpMM path
             return BSROperator.from_scipy(A, blocksize=bs)
-        if _prefer_pet_for_csr(A.nnz):
+        if _prefer_pet_for_csr(A):
             # on TPU the XLA gather+segment_sum CSR path is ~0.06 Gnnz/s;
             # the Pallas page-ELL kernel is ~300x faster (f32)
+            import weakref
+
             from .ops.pallas_spmv import PETOperator
 
-            return PETOperator.from_scipy(A)
+            hit = _PET_ROUTE_CACHE.get(id(A))
+            if hit is not None and hit[0]() is A:
+                return hit[1]
+            # adjoint PET built lazily on first rmatvec (cg/gmres/chebyshev
+            # never need it; building it here would double the O(nnz) cost)
+            op = PETOperator.from_scipy(A, with_rmatvec="lazy")
+            try:
+                _PET_ROUTE_CACHE[id(A)] = (weakref.ref(A), op)
+            except TypeError:
+                pass
+            return op
         return CSROperator.from_scipy(A)
 
     if not hasattr(A, "__matmul__"):

@@ -422,26 +422,36 @@ class PETOperator:
     reference: tests/test_solvers.py:199-209).
     """
 
-    def __init__(self, pet, pet_t, diag, shape, interpret=None):
+    def __init__(self, pet, pet_t, diag, shape, interpret=None, sp=None,
+                 data_dtype=None):
         self._pet = pet
         self._pet_t = pet_t
         self._diag = diag
         self.shape = tuple(shape)
         self._interpret = interpret
+        self._sp = sp                  # host handle for lazy adjoint builds
+        self._data_dtype = data_dtype
 
     @classmethod
     def from_scipy(cls, sp, with_rmatvec=True, interpret=None,
                    data_dtype=None):
+        """``with_rmatvec``: True builds the adjoint PET now, "lazy" defers
+        it to the first ``rmatvec`` call (keeping a host-side handle to the
+        scipy matrix), False disables the adjoint."""
         pet = build_pet(sp, data_dtype=data_dtype)
         pet_t = (
             build_pet(sp.T.conj().tocsr(), data_dtype=data_dtype)
-            if with_rmatvec
+            if with_rmatvec is True
             else None
         )
         diag = jnp.asarray(
             np.asarray(sp.tocsr().diagonal(), dtype=np.float32)
         )
-        return cls(pet, pet_t, diag, sp.shape, interpret)
+        return cls(
+            pet, pet_t, diag, sp.shape, interpret,
+            sp=(sp if with_rmatvec == "lazy" else None),
+            data_dtype=data_dtype,
+        )
 
     @property
     def dtype(self):
@@ -469,8 +479,17 @@ class PETOperator:
     matvec = __matmul__
 
     def rmatvec(self, x):
+        if self._pet_t is None and self._sp is not None:
+            # lazy adjoint: built once, on first use
+            self._pet_t = build_pet(
+                self._sp.T.conj().tocsr(), data_dtype=self._data_dtype
+            )
         if self._pet_t is None:
-            raise ValueError("PETOperator built with with_rmatvec=False")
+            raise ValueError(
+                "PETOperator built without an adjoint; construct with "
+                "PETOperator.from_scipy(A) (with_rmatvec=True) for "
+                "rmatvec-based solvers"
+            )
         if x.ndim == 1:
             return pet_matvec(self._pet_t, x, self._interpret)
         cols = [

@@ -69,19 +69,24 @@ def psum_inner(b_shape, axis=ROWS):
     return inner_einsum
 
 
-def psum_fused_inner(axis=ROWS):
+def psum_fused_inner(axis=ROWS, vector_ndim=1):
     """Fused multi-inner-product: ONE ``psum`` for a whole batch of pairs.
 
     For solvers that expose a ``fused_inner`` injection point (pipelined
     CG), all of an iteration's scalars travel in a single stacked
     collective instead of one allreduce each — the latency optimization
     that motivates the pipelined recurrences in the first place.  Must be
-    called inside ``shard_map``; full-contraction (per-vector scalars).
+    called inside ``shard_map``.  Contracts the first ``vector_ndim`` axes
+    (1 for flat vectors, 2 for grid-shaped), so blocked multi-RHS solves
+    keep their per-column scalars.
     """
 
     def fused(pairs):
         locs = jnp.stack(
-            [jnp.sum(jnp.conj(a) * c) for (a, c) in pairs]
+            [
+                jnp.sum(jnp.conj(a) * c, axis=tuple(range(vector_ndim)))
+                for (a, c) in pairs
+            ]
         )
         tot = lax.psum(locs, axis)
         return tuple(tot[i] for i in range(len(pairs)))

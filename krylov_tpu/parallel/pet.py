@@ -144,17 +144,26 @@ class ShardedPETOperator:
         )
         return ps.pet_matvec(pet, x_full, interpret=interpret)
 
-    def __matmul__(self, x):
+    def _cols(self, prefix, geom, x, n_out):
         x_full = lax.all_gather(x, self.axis, tiled=True)
-        return self._apply("", self._geom, x_full, self.n_local)
+        if x.ndim == 1:
+            return self._apply(prefix, geom, x_full, n_out)
+        # blocked multi-RHS: one kernel pipeline per column
+        cols = [
+            self._apply(prefix, geom, x_full[:, j], n_out)
+            for j in range(x.shape[1])
+        ]
+        return jnp.stack(cols, axis=1)
+
+    def __matmul__(self, x):
+        return self._cols("", self._geom, x, self.n_local)
 
     matvec = __matmul__
 
     def rmatvec(self, x):
         # adjoint row slab == column slab of A: the local PET of
         # A[:, slab]^H maps the full x to exactly the owned rows
-        x_full = lax.all_gather(x, self.axis, tiled=True)
-        return self._apply("t_", self._geom_t, x_full, self.n_local)
+        return self._cols("t_", self._geom_t, x, self.n_local)
 
     def tree_flatten(self):
         keys = tuple(self._a.keys())

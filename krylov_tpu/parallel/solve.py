@@ -289,7 +289,7 @@ def _sharded_solve_grid(
         kw = dict(solver_kwargs)
         _gp = inspect.signature(solver).parameters
         if "fused_inner" in _gp and "fused_inner" not in kw:
-            kw["fused_inner"] = psum_fused_inner(ROWS)
+            kw["fused_inner"] = psum_fused_inner(ROWS, vector_ndim=2)
         if "block_inner" in _gp and "block_inner" not in kw:
             kw["block_inner"] = psum_block_inner(ROWS)
         if M_diag is not None:

@@ -53,8 +53,12 @@ def _ridge_solve(Gram, RHS):
     entries are ~resnorm^2 (tiny), and any absolute floor would swamp them
     and stall the recurrence at a spurious accuracy floor."""
     k = Gram.shape[0]
+    rdtype = jnp.real(Gram).dtype
     scale = jnp.real(jnp.trace(Gram)) / k
-    eps = jnp.asarray(1e-14, jnp.real(Gram).dtype)
+    # eps must scale with the working precision: a fixed 1e-14 would be
+    # additively invisible in f32 (no-op guard) yet dominant for tiny f64
+    # Grams
+    eps = 10.0 * k * jnp.finfo(rdtype).eps
     ridge = jnp.where(scale > 0, scale, 1.0) * eps
     return jnp.linalg.solve(Gram + ridge * jnp.eye(k, dtype=Gram.dtype), RHS)
 

@@ -99,6 +99,13 @@ def _dense_matrix(A):
     if isinstance(op, MatrixOperator):
         return op.a
     if hasattr(op, "todense"):
+        if op.shape[0] > _DENSE_SWEEP_MAX:
+            raise NotImplementedError(
+                f"triangular sweeps above {_DENSE_SWEEP_MAX} rows are not "
+                "materialized densely for this operator type; pass the "
+                "scipy matrix (level-scheduled path) or use the "
+                "grid-stencil/smoother forms"
+            )
         return jnp.asarray(op.todense())
     raise ValueError("Gauss-Seidel/SOR/SSOR need a matrix (not a bare operator)")
 

@@ -92,3 +92,20 @@ def test_block_cg_complex_hpd():
     assert info.success
     R = B - A @ np.asarray(sol)
     assert np.max(np.abs(R)) <= 1e-8
+
+
+def test_block_cg_f32_dependent_columns():
+    """In f32 the ridge must scale with the dtype epsilon: exactly
+    rank-deficient Gram matrices (duplicate RHS columns) may not produce
+    NaNs on the first iteration."""
+    A = _outlier_spd(48).astype(np.float32)
+    rng = np.random.default_rng(12)
+    col = rng.standard_normal(48).astype(np.float32)
+    B = np.stack([col, col], axis=1)  # identical columns: rank-1 block
+    sol, info = krylov_tpu.cg_block(
+        jnp.asarray(A), jnp.asarray(B), tol=1e-4, maxiter=200
+    )
+    assert np.all(np.isfinite(np.asarray(info.xk)))
+    assert info.success
+    R = B - A @ np.asarray(info.xk)
+    assert np.max(np.linalg.norm(R, axis=0)) <= 1e-2

@@ -146,3 +146,42 @@ def test_tpu_routing_prefers_pet_for_large_csr(monkeypatch):
     monkeypatch.setattr(_operators, "_prefer_pet_for_csr", lambda nnz: True)
     op = _operators.as_operator(sp)
     assert type(op).__name__ == "PETOperator"
+
+
+def test_pet_operator_usable_under_jit():
+    """The operator's pytree aux must be hashable (dicts would break the
+    PyTreeDef and any jit/vmap taking the operator as an argument)."""
+    sp = CASES["tridiag"].astype(np.float32)
+    A = PETOperator.from_scipy(sp, interpret=True)
+
+    @jax.jit
+    def mv(op, v):
+        return op @ v
+
+    x = jnp.asarray(RNG.standard_normal(sp.shape[1]).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(mv(A, x)), np.asarray(A @ x), rtol=1e-6
+    )
+
+
+def test_pet_lazy_adjoint_and_complex_guard():
+    """Auto-route defers the adjoint PET build to the first rmatvec call,
+    and complex scipy matrices never route to the f32-only PET kernel."""
+    from krylov_tpu import _operators
+
+    sp = scipy.sparse.random(512, 512, density=0.05, random_state=3,
+                             format="csr").astype(np.float32)
+    A = PETOperator.from_scipy(sp, with_rmatvec="lazy", interpret=True)
+    assert A._pet_t is None
+    x = jnp.asarray(RNG.standard_normal(512).astype(np.float32))
+    got = np.asarray(A.rmatvec(x))
+    assert A._pet_t is not None  # built on first use
+    np.testing.assert_allclose(got, sp.T @ np.asarray(x), atol=1e-4)
+
+    spc = (sp + 1j * sp).tocsr()
+    spc_big = scipy.sparse.block_diag([spc] * 8).tocsr()
+    assert spc_big.nnz >= (1 << 16)
+    # even at eligible size, complex data must never be PET-eligible
+    assert not _operators._pet_eligible_matrix(spc_big)
+    real_big = scipy.sparse.block_diag([sp] * 8).tocsr()
+    assert _operators._pet_eligible_matrix(real_big)

@@ -93,3 +93,23 @@ def test_pipelined_sharded_single_psum():
     )
     assert info.success
     np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-6)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_pipelined_sharded_multi_rhs():
+    """The injected fused psum must contract vector axes only, keeping
+    per-column scalars for blocked RHS."""
+    from krylov_tpu import parallel
+
+    A = stencil.poisson_2d(8, 16)
+    rng = np.random.default_rng(11)
+    B = jnp.asarray(rng.standard_normal((128, 2)))
+    sol_ref, info_ref = krylov_tpu.cg_pipelined(A, B, tol=1e-8, maxiter=300)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg_pipelined, A, B,
+        mesh=parallel.make_mesh(n_rows=8), tol=1e-8, maxiter=300,
+    )
+    assert info.success
+    assert info.resnorms.shape[1:] == (2,)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref),
+                               atol=1e-6)
