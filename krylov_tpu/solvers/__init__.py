@@ -8,6 +8,7 @@ from .cgnr import cgnr
 from .cgr import cgr
 from .cgs import cgs
 from .chebyshev import chebyshev
+from .fgmres import fgmres
 from .gcr import gcr
 from .gmres import gmres
 from .minres import minres
@@ -35,6 +36,7 @@ __all__ = [
     "cgr",
     "cgs",
     "chebyshev",
+    "fgmres",
     "gcr",
     "gmres",
     "minres",
