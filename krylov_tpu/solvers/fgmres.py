@@ -110,6 +110,17 @@ def fgmres(
             total += 1
             j += 1
             resnorms.append(float(jnp.abs(g[j])))
+            if callback is not None:
+                # reference contract: callback fires every iteration with
+                # the current iterate (assembled on demand)
+                import jax.scipy.linalg as jsl
+
+                y_cb = jsl.solve_triangular(H[:j, :j], g[:j], lower=False)
+                x_cb = x + sum(
+                    (c * z for c, z in zip(y_cb, Z)),
+                    jnp.zeros_like(x).astype(dtype),
+                )
+                callback(x_cb, b - jnp.asarray(A @ x_cb))
             if resnorms[-1] <= criterion or breakdown or total >= maxiter:
                 break
 
@@ -128,8 +139,6 @@ def fgmres(
         # explicit-residual re-check (reference convergence contract)
         explicit = float(norm(r))
         resnorms[-1] = explicit
-        if callback is not None:
-            callback(x, r)
         if explicit <= criterion:
             success = True
             break

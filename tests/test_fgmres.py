@@ -76,3 +76,15 @@ def test_fgmres_unconverged_returns_none():
     sol, info = krylov_tpu.fgmres(A, b, tol=1e-14, maxiter=3)
     assert sol is None and not info.success
     assert len(info.resnorms) == info.numsteps + 1
+
+
+def test_fgmres_callback_contract():
+    """callback fires once before the loop plus once per iteration
+    (reference contract: count == numsteps + 1)."""
+    A, b = _unsym(30, 5)
+    calls = []
+    sol, info = krylov_tpu.fgmres(
+        A, b, tol=1e-8, maxiter=30,
+        callback=lambda x, r: calls.append(np.linalg.norm(np.asarray(r))),
+    )
+    assert len(calls) == info.numsteps + 1
