@@ -85,6 +85,7 @@ def spmv_traffic_model(A, dtype=None) -> int:
     * ConstStencilOperator: x read + y write (weights are compile-time)
     * Banded/GridStencil:  coefficient planes + x + y
     * CSR: data + indices + x gathers (counted once) + y
+    * PET: padded slot-lanes x (value + 1-byte index) + windows + y
     * dense: matrix + x + y
     """
     itemsize = np.dtype(dtype or getattr(A, "dtype", np.float32)).itemsize
@@ -92,6 +93,17 @@ def spmv_traffic_model(A, dtype=None) -> int:
     kind = type(A).__name__
     if kind == "ConstStencilOperator":
         return 2 * n * itemsize
+    if kind == "PETOperator":
+        pet = A._pet
+        slot_lanes = pet["nchunks"] * pet["lc"] * 128
+        # value stream + int8 column stream + per-chunk metadata tile +
+        # x window fetches (>= one x pass) + y write
+        return (
+            slot_lanes * (A.dtype.itemsize + 1)
+            + pet["nchunks"] * 8 * 128 * 4
+            + pet["pages_pad"] * 128 * 4
+            + n * 4
+        )
     if hasattr(A, "coeffs2d") or hasattr(A, "coeffs"):
         ndiag = (
             A.coeffs2d.shape[0] if hasattr(A, "coeffs2d") else A.coeffs.shape[0]
