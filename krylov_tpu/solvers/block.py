@@ -23,6 +23,7 @@ stop improving).
 
 from typing import Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +34,7 @@ from ._common import preconditioner, setup
 
 
 class BlockCGState(NamedTuple):
+    k: jnp.ndarray        # iteration counter
     X: jnp.ndarray        # (N, k) iterate offset from x0
     R: jnp.ndarray        # (N, k) residuals
     Z: jnp.ndarray        # (N, k) preconditioned residuals
@@ -63,6 +65,18 @@ def _ridge_solve(Gram, RHS):
     return jnp.linalg.solve(Gram + ridge * jnp.eye(k, dtype=Gram.dtype), RHS)
 
 
+def _gram_solve(Gram, RHS):
+    """Gram solves in f64 when x64 is available: the k x k solve is the
+    error amplifier of the block recurrences, and promoting just it is
+    nearly free (k is tiny)."""
+    if Gram.dtype in (jnp.float32, jnp.complex64) and jax.config.jax_enable_x64:
+        wide = jnp.complex128 if jnp.iscomplexobj(Gram) else jnp.float64
+        return _ridge_solve(
+            Gram.astype(wide), RHS.astype(wide)
+        ).astype(RHS.dtype)
+    return _ridge_solve(Gram, RHS)
+
+
 def cg_block(
     A,
     b,
@@ -73,11 +87,17 @@ def cg_block(
     tol: float = 1e-5,
     atol: float = 1.0e-15,
     maxiter: Optional[int] = None,
+    replace_every: int = 150,
     callback: Optional[Callable] = None,
     backend: str = EAGER,
 ):
     """Block CG for Hermitian positive definite ``A`` with ``b`` of shape
-    ``(N, k)`` (a 1-D ``b`` degenerates to standard CG recurrences)."""
+    ``(N, k)`` (a 1-D ``b`` degenerates to standard CG recurrences).
+
+    ``replace_every``: every that many iterations the residual block is
+    recomputed explicitly and the direction block restarted -- block
+    recurrences lose orthogonality faster than single-vector CG (observed
+    divergence after ~450 f32 iterations without replacement)."""
     A, b, x0_arr, N, inner, maxiter = setup(
         A, b, x0=x0, inner=inner, maxiter=maxiter
     )
@@ -109,6 +129,7 @@ def cg_block(
 
     vdtype = jnp.result_type(Z0.dtype, R0.dtype)
     state0 = BlockCGState(
+        k=jnp.asarray(0, jnp.int32),
         X=jnp.zeros(B.shape, vdtype),
         R=R0.astype(vdtype),
         Z=Z0.astype(vdtype),
@@ -120,12 +141,12 @@ def cg_block(
     def step(st: BlockCGState, criterion) -> BlockCGState:
         Q = jnp.asarray(A @ st.P)
         delta = block_inner(st.P, Q)          # (k, k), one reduction
-        alpha = _ridge_solve(delta, st.gamma)
+        alpha = _gram_solve(delta, st.gamma)
         X = st.X + jnp.einsum("...k,kl->...l", st.P, alpha)
         R = st.R - jnp.einsum("...k,kl->...l", Q, alpha)
         Z = jnp.asarray(M_op @ R)
         gamma_new = block_inner(R, Z)         # (k, k), one reduction
-        beta = _ridge_solve(st.gamma, gamma_new)
+        beta = _gram_solve(st.gamma, gamma_new)
         P = Z + jnp.einsum("...k,kl->...l", st.P, beta)
         # Euclidean per-column residual norms; free when M is the identity
         # (Z == R), one extra contraction otherwise
@@ -134,8 +155,38 @@ def cg_block(
             if unpreconditioned
             else jnp.abs(jnp.diagonal(block_inner(R, R)))
         )
+
+        # periodic explicit replacement + direction restart (see docstring)
+        from jax import lax as _lax
+
+        k1 = st.k + 1
+        do_replace = (k1 % replace_every) == 0
+
+        def replaced(X_):
+            # full restart: explicit residual AND P reset to Z -- the
+            # conjugacy chain (P against gamma) is where f32 drift lives,
+            # so a kept P after refreshing gamma diverges (measured)
+            R_ = residuals(X0 + X_).astype(vdtype)
+            Z_ = jnp.asarray(M_op @ R_).astype(vdtype)
+            g_ = block_inner(R_, Z_)
+            rr_ = (
+                jnp.abs(jnp.diagonal(g_))
+                if unpreconditioned
+                else jnp.abs(jnp.diagonal(block_inner(R_, R_)))
+            )
+            return R_, Z_, Z_, g_, rr_
+
+        if backend == EAGER:
+            if bool(np.asarray(do_replace)):
+                R, Z, P, gamma_new, rr = replaced(X)
+        else:
+            R, Z, P, gamma_new, rr = _lax.cond(
+                do_replace, replaced,
+                lambda X_: (R, Z, P, gamma_new, rr), X,
+            )
+
         return BlockCGState(
-            X=X, R=R, Z=Z, P=P, gamma=gamma_new,
+            k=k1, X=X, R=R, Z=Z, P=P, gamma=gamma_new,
             resnorm=jnp.sqrt(rr),
         )
 

@@ -145,24 +145,31 @@ def cg_pipelined(
         )
         rr_new = jnp.maximum(rr - 2.0 * alpha * rs + alpha * alpha * ss, 0.0)
 
-        # periodic residual replacement: recompute r, u, w explicitly so
-        # recurrence drift cannot stall convergence below the noise floor
+        # periodic residual replacement (Cools et al. 2018): recompute ALL
+        # recurrence vectors explicitly -- r/u/w and the direction images
+        # s = A p, q = M s, z = A q.  Refreshing only the residual chain
+        # leaves the direction chain inconsistent and destabilizes the
+        # recurrence instead of fixing it (observed in f32).
         k1 = st.k + 1
         do_replace = (k1 % replace_every) == 0
 
-        def replaced(x):
-            rr_, uu_, ww_ = b - A @ x, None, None
-            uu_ = M_op @ rr_
-            ww_ = jnp.asarray(A @ uu_)
-            return rr_.astype(vdtype), uu_.astype(vdtype), ww_.astype(vdtype)
+        def replaced(operands):
+            x_, p_ = operands
+            rr_ = (b - A @ x_).astype(vdtype)
+            uu_ = (M_op @ rr_).astype(vdtype)
+            ww_ = jnp.asarray(A @ uu_).astype(vdtype)
+            ss_ = jnp.asarray(A @ p_).astype(vdtype)
+            qq_ = (M_op @ ss_).astype(vdtype)
+            zz_ = jnp.asarray(A @ qq_).astype(vdtype)
+            return rr_, uu_, ww_, ss_, qq_, zz_
 
         if backend == EAGER:
             if bool(np.asarray(do_replace)):
-                r, u, w = replaced(x)
+                r, u, w, s, q, z = replaced((x, p))
         else:
-            r, u, w = lax.cond(
-                do_replace, lambda x_: replaced(x_),
-                lambda x_: (r, u, w), x,
+            r, u, w, s, q, z = lax.cond(
+                do_replace, replaced,
+                lambda operands: (r, u, w, s, q, z), (x, p),
             )
 
         return PipeCGState(

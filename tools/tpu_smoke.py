@@ -110,6 +110,20 @@ def main():
     err = np.abs(yp - yw).max() / (np.abs(yw).max() + 1e-9)
     check("pet_csr_spmv", err, 1e-5)
 
+    # 7c. pipelined and block CG on the real chip (compiled)
+    sol, info = krylov.cg_pipelined(
+        A, b, tol=1e-3, maxiter=2000, backend="while_loop"
+    )
+    check("cg_pipelined", relres(A, info.xk, b), 5e-3)
+
+    B3 = jnp.asarray(rng.standard_normal((256 * 256, 3)), jnp.float32)
+    solb, infob = krylov.cg_block(
+        A, B3, tol=1e-3, maxiter=2000, backend="while_loop"
+    )
+    Rb = np.asarray(B3) - np.asarray(A @ infob.xk)
+    rel_b = np.linalg.norm(Rb) / np.linalg.norm(np.asarray(B3))
+    check("cg_block_multirhs", rel_b, 5e-3)
+
     # 7. bf16 const-stencil matvec consistency
     x16 = jnp.asarray(rng.standard_normal(Ac.grid), jnp.bfloat16)
     A16 = stencil.ConstStencilOperator(
@@ -123,7 +137,7 @@ def main():
     if failures:
         print(json.dumps({"verdict": "FAIL", "failures": failures}))
         sys.exit(1)
-    print(json.dumps({"verdict": "PASS", "checks": 8,
+    print(json.dumps({"verdict": "PASS", "checks": 10,
                       "device": getattr(jax.devices()[0], "device_kind", "?")}))
 
 
