@@ -43,6 +43,7 @@ def sharded_solve(
     shard_rhs=False,
     x0=None,
     M_diag=None,
+    M_factory=None,
     tol=1e-5,
     atol=1e-15,
     maxiter=None,
@@ -65,6 +66,11 @@ def sharded_solve(
     * ``M_diag`` — global diagonal of a Jacobi-type preconditioner
       ``M = diag(M_diag)`` (shape ``(N,)``); sharded with the vectors and
       passed to the solver as ``M`` (elementwise, no communication).
+    * ``M_factory`` — callable receiving the SHARD-LOCAL operator and
+      returning a preconditioner built on it, e.g.
+      ``lambda A_l: ChebyshevPreconditioner(A_l, (lo, hi), degree=6)``:
+      matvec-based preconditioners then run distributed for free (their
+      matvecs are the sharded operator's own halo-exchanging matvecs).
 
     Returns ``(sol, Info)`` with reference-parity semantics: ``sol is None``
     when unconverged, ``info.resnorms`` a host array of shape
@@ -81,8 +87,8 @@ def sharded_solve(
     if restart is not None:
         return _sharded_restarted(
             solver, A, b, restart=restart, mesh=mesh, shard_rhs=shard_rhs,
-            x0=x0, M_diag=M_diag, tol=tol, atol=atol, maxiter=maxiter,
-            **solver_kwargs,
+            x0=x0, M_diag=M_diag, M_factory=M_factory, tol=tol, atol=atol,
+            maxiter=maxiter, **solver_kwargs,
         )
 
     # grid-stencil fast paths: 2-D layout end-to-end, Pallas kernel
@@ -99,8 +105,9 @@ def sharded_solve(
         )
     ):
         return _sharded_solve_grid(
-            solver, A, b, mesh=mesh, x0=x0, M_diag=M_diag, tol=tol,
-            atol=atol, maxiter=maxiter, **solver_kwargs,
+            solver, A, b, mesh=mesh, x0=x0, M_diag=M_diag,
+            M_factory=M_factory, tol=tol, atol=atol, maxiter=maxiter,
+            **solver_kwargs,
         )
 
     N = b.shape[0]
@@ -184,6 +191,8 @@ def sharded_solve(
             from .._operators import DiagonalOperator
 
             kw["M"] = DiagonalOperator(Md_l)
+        elif M_factory is not None:
+            kw["M"] = M_factory(A_op)
         xk, info = solver(
             A_op,
             b_l,
@@ -230,7 +239,8 @@ def sharded_solve(
 
 
 def _sharded_solve_grid(
-    solver, A, b, *, mesh, x0, tol, atol, maxiter, M_diag=None, **solver_kwargs
+    solver, A, b, *, mesh, x0, tol, atol, maxiter, M_diag=None,
+    M_factory=None, **solver_kwargs
 ):
     """Row-partitioned solve in the grid (M, ny[, k]) layout — see
     parallel/grid.py.  A trailing RHS-column axis rides along unsharded."""
@@ -296,6 +306,8 @@ def _sharded_solve_grid(
             from .._operators import DiagonalOperator
 
             kw["M"] = DiagonalOperator(Md_l)
+        elif M_factory is not None:
+            kw["M"] = M_factory(A_op)
         xk, info = solver(
             A_op, b_l, inner=inner, x0=x0_l, tol=tol, atol=atol,
             maxiter=maxiter, backend="while_loop", **kw,
@@ -351,8 +363,8 @@ def _local_pet(*arrs, geom, geom_t, n_local, n_global):
 
 
 def _sharded_restarted(
-    solver, A, b, *, restart, mesh, shard_rhs, x0, M_diag, tol, atol,
-    maxiter, **solver_kwargs,
+    solver, A, b, *, restart, mesh, shard_rhs, x0, M_diag, M_factory=None,
+    tol, atol, maxiter, **solver_kwargs,
 ):
     """Restarted sharded solve: one compiled cycle per outer iteration.
 
@@ -371,7 +383,7 @@ def _sharded_restarted(
         cycle_max = min(m, total_max - numsteps)
         kw = dict(
             mesh=mesh, shard_rhs=shard_rhs, x0=x, M_diag=M_diag,
-            maxiter=cycle_max, **solver_kwargs,
+            M_factory=M_factory, maxiter=cycle_max, **solver_kwargs,
         )
         if criterion is None:
             sol, info = sharded_solve(solver, A, b, tol=tol, atol=atol, **kw)
