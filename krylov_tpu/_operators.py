@@ -241,9 +241,50 @@ def _prefer_pet_for_csr(A):
     )
 
 
-# auto-routed PET operators are cached per scipy object: as_operator runs on
-# every solve call, and the PET build is an O(nnz) host-side pass
-_PET_ROUTE_CACHE = {}
+# auto-routed operators (PET / BSR conversions) are cached per scipy object:
+# as_operator runs on every solve call and both builds are O(nnz) host-side
+# passes.  The cache key includes a content fingerprint so in-place mutation
+# of the scipy matrix (A.data *= ... in a time-stepping re-solve loop)
+# invalidates the cached operator instead of silently serving stale values.
+_ROUTE_CACHE = {}
+
+
+def _sparse_fingerprint(A):
+    """Cheap content fingerprint of a scipy sparse matrix.
+
+    Samples O(64) values from the data/index buffers plus nnz and shape;
+    any in-place value edit (the common mutation pattern) or structural
+    change flips it.  Not cryptographic — it only needs to catch honest
+    re-use of a mutated matrix, at negligible cost next to the O(nnz)
+    conversion it guards.
+    """
+    parts = [A.shape, getattr(A, "nnz", None)]
+    for name in ("data", "indices", "indptr", "row", "col", "offsets"):
+        buf = getattr(A, name, None)
+        if buf is None or getattr(buf, "size", 0) == 0:
+            continue
+        arr = np.asarray(buf)
+        if arr.dtype == object:  # lil/dok store ragged object arrays
+            continue
+        step = max(1, arr.size // 64)
+        parts.append((name, arr[::step].tobytes(), arr[-1].tobytes()))
+    return hash(tuple(parts))
+
+
+def _route_cached(A, build):
+    """Return ``build(A)`` memoized on ``(id(A), fingerprint(A))``."""
+    import weakref
+
+    fp = _sparse_fingerprint(A)
+    hit = _ROUTE_CACHE.get(id(A))
+    if hit is not None and hit[0]() is A and hit[1] == fp:
+        return hit[2]
+    op = build(A)
+    try:
+        _ROUTE_CACHE[id(A)] = (weakref.ref(A), fp, op)
+    except TypeError:
+        pass
+    return op
 
 
 def as_operator(A):
@@ -268,37 +309,32 @@ def as_operator(A):
         return A
 
     if hasattr(A, "tocsr"):  # scipy sparse, without importing scipy here
-        from .ops.bsr import BSROperator, detect_blocksize
-        from .ops.sparse import CSROperator
-
-        bs = detect_blocksize(A)
-        if bs is not None:
-            # block-structured: route to the MXU SpMM path
-            return BSROperator.from_scipy(A, blocksize=bs)
-        if _prefer_pet_for_csr(A):
-            # on TPU the XLA gather+segment_sum CSR path is ~0.06 Gnnz/s;
-            # the Pallas page-ELL kernel is ~300x faster (f32)
-            import weakref
-
-            from .ops.pallas_spmv import PETOperator
-
-            hit = _PET_ROUTE_CACHE.get(id(A))
-            if hit is not None and hit[0]() is A:
-                return hit[1]
-            # adjoint PET built lazily on first rmatvec (cg/gmres/chebyshev
-            # never need it; building it here would double the O(nnz) cost)
-            op = PETOperator.from_scipy(A, with_rmatvec="lazy")
-            try:
-                _PET_ROUTE_CACHE[id(A)] = (weakref.ref(A), op)
-            except TypeError:
-                pass
-            return op
-        return CSROperator.from_scipy(A)
+        return _route_cached(A, _route_scipy_sparse)
 
     if not hasattr(A, "__matmul__"):
         raise ValueError(f"Unknown linear operator A = {A}")
 
     return CallableOperatorWrapper(A)
+
+
+def _route_scipy_sparse(A):
+    """Pick the sparse operator backend for a scipy matrix (uncached)."""
+    from .ops.bsr import BSROperator, detect_blocksize
+    from .ops.sparse import CSROperator
+
+    bs = detect_blocksize(A)
+    if bs is not None:
+        # block-structured: route to the MXU SpMM path
+        return BSROperator.from_scipy(A, blocksize=bs)
+    if _prefer_pet_for_csr(A):
+        # on TPU the XLA gather+segment_sum CSR path is ~0.06 Gnnz/s;
+        # the Pallas page-ELL kernel is ~300x faster (f32).  The adjoint
+        # PET is built lazily on first rmatvec (cg/gmres/chebyshev never
+        # need it; building it here would double the O(nnz) cost).
+        from .ops.pallas_spmv import PETOperator
+
+        return PETOperator.from_scipy(A, with_rmatvec="lazy")
+    return CSROperator.from_scipy(A)
 
 
 @register_pytree_node_class

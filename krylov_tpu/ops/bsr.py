@@ -143,6 +143,13 @@ def detect_blocksize(
     HIGHEST fill -- the SpMM is HBM-bound, so minimizing streamed padding
     beats maximizing MXU tile size.  Returns ``None`` when no candidate
     qualifies (scattered sparsity stays on the CSR path).
+
+    Candidates whose **ELL padding** would blow up are also rejected:
+    :meth:`BSROperator.from_scipy` pads every block row to the max
+    block count, so a skewed matrix (one dense row, arrow structure) can
+    pass the per-block fill test yet allocate near-dense memory.  The
+    bound ``nbrows * max_blocks * R * C <= max_ell_expand * nnz`` caps the
+    streamed (and allocated) bytes at a small multiple of the true data.
     Cost: one O(nnz) coarsening per candidate.
     """
     import scipy.sparse
@@ -150,6 +157,7 @@ def detect_blocksize(
     n, m = sp.shape
     if sp.nnz < min_nnz:
         return None
+    max_ell_expand = 1.0 / min_fill
     coo = sp.tocoo()
     best, best_fill = None, min_fill
     for R, C in candidates:
@@ -161,6 +169,10 @@ def detect_blocksize(
         )
         nblocks = coarse.count_nonzero()
         fill = sp.nnz / (nblocks * R * C) if nblocks else 0.0
+        counts = np.diff(coarse.indptr)
+        ell_entries = (n // R) * int(counts.max() if counts.size else 0) * R * C
+        if ell_entries > max_ell_expand * sp.nnz:
+            continue
         if fill >= best_fill:
             best, best_fill = (R, C), fill
     return best

@@ -504,6 +504,15 @@ class PETOperator:
     _ARR = ("ent", "dat", "meta", "meta_v")
 
     def tree_flatten(self):
+        # The host-side scipy handle (`with_rmatvec="lazy"`) cannot cross a
+        # pytree boundary, so honor the lazy-adjoint contract by building
+        # the adjoint PET once, here, before the handle is dropped.  The
+        # build is cached on self, so repeated flattens (every jit call)
+        # pay nothing after the first.
+        if self._pet_t is None and self._sp is not None:
+            self._pet_t = build_pet(
+                self._sp.T.conj().tocsr(), data_dtype=self._data_dtype
+            )
         pt = self._pet_t
         children = (
             tuple(self._pet[k] for k in self._ARR)
@@ -515,16 +524,19 @@ class PETOperator:
             {k: v for k, v in pt.items() if k not in self._ARR} if pt else None,
             self.shape,
             self._interpret,
+            self._data_dtype,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        pet_aux, pett_aux, shape, interpret = aux
+        pet_aux, pett_aux, shape, interpret, data_dtype = aux
         pet = dict(pet_aux, **dict(zip(cls._ARR, children[0:4])))
         pet_t = (
             dict(pett_aux, **dict(zip(cls._ARR, children[4:8])))
             if pett_aux is not None
             else None
         )
-        return cls(pet, pet_t, children[8], shape, interpret)
+        return cls(
+            pet, pet_t, children[8], shape, interpret, data_dtype=data_dtype
+        )

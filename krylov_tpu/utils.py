@@ -29,128 +29,168 @@ __all__ = [
 def qr(X, inner=None, reorthos: int = 1):
     """QR factorization with a customizable inner product.
 
-    With the default inner product this defers to the on-device
-    ``jnp.linalg.qr``; with a custom inner it runs (re-orthogonalized)
-    modified Gram–Schmidt (reference: src/krylov/utils.py:11-39).
+    With the default (Euclidean) inner product this defers to the on-device
+    ``jnp.linalg.qr``.  With a custom inner it runs left-looking modified
+    Gram–Schmidt with ``reorthos`` refinement passes per column: each pass
+    re-projects the column against every finished basis vector and folds the
+    measured coefficients back into R, so R stays the exact factor of the
+    *performed* transformation regardless of how many passes run.
+    (Capability parity: reference src/krylov/utils.py:11-39.)
 
     :param X: array with ``shape == (N, k)``.
-    :param reorthos: number of reorthogonalizations (default 1, i.e. two MGS
-        sweeps).
+    :param reorthos: extra orthogonalization passes per column (default 1,
+        i.e. MGS2 — enough for orthogonality at machine precision on
+        ill-conditioned inputs).
     :return: ``(Q, R)`` with ``<Q, Q> = I_k`` and R upper triangular.
     """
     X = jnp.asarray(X)
-    if inner is None and X.shape[1] > 0:
+    n, k = X.shape
+    if k == 0:
+        return X, jnp.zeros((0, 0), dtype=X.dtype)
+    if inner is None:
         return jnp.linalg.qr(X, mode="reduced")
 
-    N, k = X.shape
-    Q = X
-    R = jnp.zeros((k, k), dtype=X.dtype)
+    basis = []   # finished orthonormal columns, each (n, 1)
+    r_cols = []  # matching columns of R, each (k,)
     for i in range(k):
+        v = X[:, i : i + 1]
+        coeff = jnp.zeros((k,), dtype=X.dtype)
         for _ in range(reorthos + 1):
-            for j in range(i):
-                alpha = inner(Q[:, [j]], Q[:, [i]])
-                alpha = jnp.asarray(alpha).reshape(())
-                R = R.at[j, i].add(alpha)
-                Q = Q.at[:, [i]].add(-alpha * Q[:, [j]])
-        nrm2 = jnp.asarray(inner(Q[:, [i]], Q[:, [i]])).reshape(())
-        # <q, q> is real non-negative up to roundoff; |.| guards the sqrt
-        rii = jnp.sqrt(jnp.abs(nrm2)).astype(X.dtype)
-        R = R.at[i, i].set(rii)
-        Q = Q.at[:, [i]].set(
-            jnp.where(rii >= 1e-15, Q[:, [i]] / jnp.where(rii >= 1e-15, rii, 1.0), Q[:, [i]])
-        )
-    return Q, R
+            for j, qj in enumerate(basis):
+                c = jnp.asarray(inner(qj, v)).reshape(())
+                v = v - c * qj
+                coeff = coeff.at[j].add(c)
+        nrm2 = jnp.asarray(inner(v, v)).reshape(())
+        # <v, v> is real non-negative up to roundoff; |.| guards the sqrt
+        nrm = jnp.sqrt(jnp.abs(nrm2)).astype(X.dtype)
+        # a (numerically) zero column stays unnormalized: R records 0 and
+        # downstream consumers see an exactly reproducible X = Q R
+        safe = jnp.where(jnp.abs(nrm) >= 1e-15, nrm, 1.0)
+        basis.append(jnp.where(jnp.abs(nrm) >= 1e-15, v / safe, v))
+        r_cols.append(coeff.at[i].set(nrm))
+    return jnp.concatenate(basis, axis=1), jnp.stack(r_cols, axis=1)
 
 
 def angles(F, G, inner=None, compute_vectors: bool = False):
-    """Principal angles between subspaces.
+    """Principal angles between ``range(F)`` and ``range(G)``.
 
-    Knyazev & Argentati alg. 6.2 (small-angle safe, optional principal
-    vectors), with the same return contract as the reference
-    (reference: src/krylov/utils.py:42-141).
+    Implements the sine/cosine split of Knyazev & Argentati, *Principal
+    angles between subspaces in an A-based scalar product* (SIAM J. Sci.
+    Comput. 23(6), 2002), alg. 6.2, for any (possibly weighted) inner
+    product.  Return contract matches the reference
+    (reference: src/krylov/utils.py:42-141): ``theta`` ascending of length
+    ``max(dim F, dim G)``, padded with ``pi/2``; with
+    ``compute_vectors=True`` also principal vectors ``U, V`` satisfying
+    ``<U, V> = diag(cos(theta))``.
+
+    Method: after orthonormalizing both bases, the SVD
+    ``<QF, QG> = Y diag(sigma) Z^H`` yields cosines — accurate only for
+    angles above pi/4.  For the ``ns`` angles below pi/4 (``sigma^2 >=
+    1/2``) the sines are recomputed from the component of the G-side
+    principal vectors orthogonal to ``range(F)``; in exact arithmetic
+    ``<B, B> = I - diag(sigma^2)``, so the SVD of its triangular factor
+    returns ``sin(theta)`` to full *relative* accuracy where
+    ``1 - sigma^2`` would lose every digit.
     """
     F = jnp.asarray(F)
     G = jnp.asarray(G)
 
-    if inner is None:
-        def inner(x, y):
-            return jnp.conj(x).T @ y
-
-    # make sure that F.shape[1] >= G.shape[1]
-    reverse = False
-    if F.shape[1] < G.shape[1]:
-        reverse = True
+    # orient so F spans the larger space; undo on the vectors at the end
+    swapped = F.shape[1] < G.shape[1]
+    if swapped:
         F, G = G, F
+    p, q = F.shape[1], G.shape[1]
 
-    QF, _ = qr(F, inner=None if inner is None else inner)
-    QG, _ = qr(G, inner=None if inner is None else inner)
+    if inner is None:
+        def ip(x, y):
+            return jnp.conj(x).T @ y
+    else:
+        ip = inner
 
-    if G.shape[1] == 0:
-        theta = jnp.ones(F.shape[1]) * jnp.pi / 2
+    QF, _ = qr(F, inner=inner)
+    QG, _ = qr(G, inner=inner)
+
+    if q == 0:
+        theta = jnp.full((p,), jnp.pi / 2)
         U, V = QF, QG
     else:
-        Y, s, Z = jnp.linalg.svd(inner(QF, QG))
-        Vcos = jnp.dot(QG, jnp.conj(Z.T))
-        n_large = int(np.flatnonzero(np.asarray(s) ** 2 < 0.5).shape[0])
-        n_small = s.shape[0] - n_large
-        theta = jnp.hstack(
+        # cosine pass: sigma descending, so the small angles come first
+        Y, sigma, Zh = jnp.linalg.svd(ip(QF, QG))
+        U = QF @ Y                      # (n, p) F-side principal vectors
+        V = QG @ jnp.conj(Zh).T         # (n, q) G-side principal vectors
+        ns = int(np.count_nonzero(np.asarray(sigma) ** 2 >= 0.5))
+        theta = jnp.concatenate(
             [
-                jnp.arccos(jnp.clip(s[n_small:], -1.0, 1.0)),
-                jnp.ones(F.shape[1] - G.shape[1]) * jnp.pi / 2,
+                jnp.arccos(jnp.clip(sigma[ns:], -1.0, 1.0)),
+                jnp.full((p - q,), jnp.pi / 2),
             ]
         )
-        U = V = None
-        if compute_vectors:
-            Ucos = jnp.dot(QF, Y)
-            U = Ucos[:, n_small:]
-            V = Vcos[:, n_small:]
 
-        if n_small > 0:
-            RG = Vcos[:, :n_small]
-            S = RG - jnp.dot(QF, inner(QF, RG))
-            _, R = qr(S, inner=None if inner is None else inner)
-            Y2, u, Z2 = jnp.linalg.svd(R)
-            theta = jnp.hstack(
-                [jnp.arcsin(jnp.clip(u[::-1][:n_small], -1.0, 1.0)), theta]
+        if ns > 0:
+            # sine pass over the first ns pairs
+            Vs = V[:, :ns]
+            B = Vs - QF @ ip(QF, Vs)    # G-side component outside range(F)
+            _, Rb = qr(B, inner=inner)
+            _, mu, Zbh = jnp.linalg.svd(Rb)
+            mu = mu[::-1]               # ascending, pairs with theta order
+            theta = jnp.concatenate(
+                [jnp.arcsin(jnp.clip(mu, -1.0, 1.0)), theta]
             )
             if compute_vectors:
-                RF = Ucos[:, :n_small]
-                Vsin = jnp.dot(RG, jnp.conj(Z2.T))
-                Usin = jnp.dot(
-                    RF,
-                    jnp.dot(
-                        jnp.diag(1.0 / s[:n_small]),
-                        jnp.dot(jnp.conj(Z2.T), jnp.diag(s[:n_small])),
-                    ),
-                )
-                U = jnp.column_stack([Usin, U])
-                V = jnp.column_stack([Vsin, V])
+                # Re-pair the vectors under the sine-based rotation Zb
+                # (columns reversed to match the ascending angles):
+                #   V_small <- Vs Zb.
+                # The F side must rotate compatibly.  For unitary Mrot with
+                # <U_s Mrot, Vs Zb> diagonal, use (derived, see docs):
+                #   Mrot = diag(sigma_s) Zb diag(1/cos(theta_s)),
+                # which is unitary because Zb^H diag(sigma_s^2) Zb =
+                # diag(cos^2 theta_s) in exact arithmetic, and maps
+                # <U_s, Vs> = diag(sigma_s) onto diag(cos theta_s) with the
+                # cosines evaluated from mu (cos = sqrt(1 - mu^2) keeps
+                # full accuracy here since theta_s < pi/4).
+                Zb = jnp.conj(Zbh).T[:, ::-1]
+                cos_s = jnp.sqrt(1.0 - jnp.clip(mu, 0.0, 1.0) ** 2)
+                Mrot = (sigma[:ns, None] * Zb) / cos_s[None, :]
+                U = jnp.concatenate([U[:, :ns] @ Mrot, U[:, ns:]], axis=1)
+                V = jnp.concatenate([Vs @ Zb, V[:, ns:]], axis=1)
 
     if compute_vectors:
-        if reverse:
+        if swapped:
             U, V = V, U
         return theta, U, V
     return theta
 
 
 def hegedus(A, b, x0, M=None, Ml=None, inner=None):
-    """Rescale the initial guess to gamma_min * x0 minimizing the initial
-    residual (Hegedüs trick; reference: src/krylov/utils.py:144-180)."""
+    """Rescale an initial guess to minimize the initial residual.
+
+    The Hegedüs trick: over the one-parameter family ``gamma * x0`` the
+    preconditioned residual norm
+    ``|| Ml (b - gamma A x0) ||_M`` is a quadratic in ``gamma``; its
+    minimizer is the Galerkin coefficient
+
+        ``gamma = <M Ml A x0, Ml b> / <M Ml A x0, Ml A x0>``.
+
+    Costs one matvec and removes the worst-case factor-2 overhead of a
+    badly scaled ``x0`` (reference capability: src/krylov/utils.py:144-180).
+    When ``A x0`` is numerically zero the scale is irrelevant and the zero
+    vector (exact minimizer of the family) is returned.
+    """
     from ._inner import get_default_inner
 
     b = jnp.asarray(b)
     x0 = jnp.asarray(x0)
-    if inner is None:
-        inner = get_default_inner(b.shape)
+    ip = get_default_inner(b.shape) if inner is None else inner
 
-    Ax0 = A @ x0
-    MlAx0 = Ax0 if Ml is None else Ml @ Ax0
-    z = MlAx0 if M is None else M @ MlAx0
-    znorm2 = inner(z, MlAx0)
-    if bool(jnp.all(jnp.real(znorm2) <= 1e-15)):
-        return jnp.zeros_like(b)
-    Mlb = b if Ml is None else Ml @ b
-    gamma = inner(z, Mlb) / znorm2
+    def apply(op, v):
+        return v if op is None else op @ v
+
+    w = apply(Ml, A @ x0)
+    Mw = apply(M, w)
+    denom = ip(Mw, w)  # squared (M, Ml)-seminorm of A @ x0
+    if not bool(jnp.any(jnp.real(denom) > 1e-15)):
+        return jnp.zeros_like(x0)
+    gamma = ip(Mw, apply(Ml, b)) / denom
     return gamma * x0
 
 

@@ -147,3 +147,62 @@ def test_bsr_solver_via_as_operator():
     assert info.success
     r = b - dense @ np.asarray(sol)
     assert np.linalg.norm(r) <= 1e-9 * (1 + np.linalg.norm(b))
+
+
+def test_detect_blocksize_rejects_ell_padding_blowup():
+    """An arrow matrix (one dense block row) can pass the per-block fill
+    test while ELL padding to max_blocks would allocate near-dense memory;
+    detect_blocksize must reject it (ADVICE r2: bound the ELL expansion)."""
+    import scipy.sparse
+
+    from krylov_tpu.ops.bsr import detect_blocksize
+
+    rng = np.random.default_rng(7)
+    n, R = 4096, 32
+    nb = n // R
+    blocks = []
+    # dense first block row (arrow head) + diagonal
+    for j in range(nb):
+        blocks.append((0, j))
+    for i in range(1, nb):
+        blocks.append((i, i))
+    rows, cols, vals = [], [], []
+    for (bi, bj) in blocks:
+        r0, c0 = bi * R, bj * R
+        rr, cc = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
+        rows.append((r0 + rr).ravel())
+        cols.append((c0 + cc).ravel())
+        vals.append(rng.standard_normal(R * R))
+    sp = scipy.sparse.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    )
+    # every stored block is fully dense -> fill = 1.0 passes min_fill,
+    # but ELL padding would store nb * nb blocks ~ the dense matrix
+    assert detect_blocksize(sp) is None
+
+
+def test_route_cache_invalidates_on_inplace_mutation():
+    """as_operator caches sparse conversions per scipy object, but an
+    in-place mutation (A.data *= ...) must invalidate the cache (ADVICE r2:
+    the id()-keyed cache previously served stale operators)."""
+    import scipy.sparse
+
+    from krylov_tpu._operators import as_operator
+
+    rng = np.random.default_rng(11)
+    sp = scipy.sparse.random(300, 300, density=0.05, random_state=5,
+                             format="csr")
+    x = rng.standard_normal(300)
+
+    op1 = as_operator(sp)
+    y1 = np.asarray(op1 @ jnp.asarray(x))
+    # unmutated re-route hits the cache (no rebuild)
+    assert as_operator(sp) is op1
+
+    sp.data *= 2.0  # in-place value edit, same object / same structure
+    op2 = as_operator(sp)
+    assert op2 is not op1
+    y2 = np.asarray(op2 @ jnp.asarray(x))
+    np.testing.assert_allclose(y2, 2.0 * y1, rtol=1e-12)
+    np.testing.assert_allclose(y2, sp @ x, rtol=1e-12)

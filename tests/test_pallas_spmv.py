@@ -142,8 +142,18 @@ def test_tpu_routing_prefers_pet_for_large_csr(monkeypatch):
     sp = scipy.sparse.random(2048, 2048, density=0.02, random_state=0,
                              format="csr")
     assert sp.nnz >= (1 << 16)
-    assert not _operators._prefer_pet_for_csr(sp.nnz)  # CPU/f64 here
-    monkeypatch.setattr(_operators, "_prefer_pet_for_csr", lambda nnz: True)
+    assert _operators._pet_eligible_matrix(sp)  # size/realness predicate
+    assert not _operators._prefer_pet_for_csr(sp)  # CPU/f64 here
+    # fake a TPU f32 backend so the real routing predicate runs end-to-end
+    import types
+
+    fake_jax = types.SimpleNamespace(
+        Array=jax.Array,  # as_operator's isinstance check still needs it
+        default_backend=lambda: "tpu",
+        config=types.SimpleNamespace(jax_enable_x64=False),
+    )
+    monkeypatch.setattr(_operators, "jax", fake_jax)
+    assert _operators._prefer_pet_for_csr(sp)
     op = _operators.as_operator(sp)
     assert type(op).__name__ == "PETOperator"
 
