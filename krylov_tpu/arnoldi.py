@@ -106,6 +106,60 @@ def _apply_reflector(u, beta, x):
     )
 
 
+def padded_reflector_at(w, pivot):
+    """Householder reflector of ``w[pivot:]`` with a TRACED pivot index.
+
+    The mask-based twin of :func:`_padded_reflector` (same Golub–Van Loan
+    branch-free construction as :class:`~krylov_tpu.householder.Householder`)
+    for use inside ``lax.while_loop``/``fori_loop`` where ``pivot`` is a
+    traced integer and suffix slicing is unavailable.  Entries above the
+    pivot of the returned direction are exactly zero, so applying the
+    reflector stays a whole-vector operation.
+
+    Returns ``(u, beta, alpha, xnorm)`` with ``u`` unit-norm full length,
+    ``H w = alpha * xnorm * e_pivot`` on the suffix.  Supports trailing
+    per-RHS dims (masks broadcast along them).
+    """
+    w = jnp.asarray(w)
+    n = w.shape[0]
+    tail = w.shape[1:]
+    idx = jnp.arange(n).reshape((n,) + (1,) * len(tail))
+    on_pivot = idx == pivot
+    below = idx > pivot
+
+    gamma = jnp.sum(jnp.where(on_pivot, w, 0), axis=0)       # w[pivot]
+    sigma2 = jnp.sum(jnp.where(below, jnp.abs(w) ** 2, 0.0), axis=0)
+    abs_gamma = jnp.abs(gamma)
+    xnorm_full = jnp.sqrt(abs_gamma**2 + sigma2)
+
+    is_e1 = sigma2 == 0
+    gamma_zero = abs_gamma == 0
+    sign_gamma = gamma / jnp.where(gamma_zero, 1.0, abs_gamma)
+
+    beta = jnp.where(is_e1, 0.0, 2.0)
+    xnorm = jnp.where(is_e1, abs_gamma, xnorm_full)
+    one = jnp.ones_like(gamma)
+    v0 = jnp.where(
+        is_e1,
+        one,
+        jnp.where(
+            gamma_zero,
+            (-jnp.sqrt(sigma2)).astype(w.dtype) * one,
+            gamma + sign_gamma * xnorm_full,
+        ),
+    )
+    alpha = jnp.where(
+        is_e1,
+        jnp.where(
+            gamma_zero, one, gamma / jnp.where(is_e1 & ~gamma_zero, xnorm, 1.0)
+        ),
+        jnp.where(gamma_zero, one, -sign_gamma),
+    )
+    v = jnp.where(on_pivot, v0, jnp.where(below, w, 0))
+    vnorm = jnp.sqrt(jnp.abs(v0) ** 2 + sigma2)
+    return v / vnorm, beta, alpha, xnorm
+
+
 # ---------------------------------------------------------------------------
 # eager iterator shells
 # ---------------------------------------------------------------------------

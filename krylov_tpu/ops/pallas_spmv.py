@@ -70,7 +70,11 @@ LC = 256        # slots per chunk
 WPAGES = 256    # pages per DMA'd x window (32768 x values, 128 KB f32)
 CWP = 32        # pages per chunk-local sub-window (kept small: the one-hot
                 # table matmul cost is LC * 2*CWP * 128 MACs per chunk)
-GS = 32         # subgroups (of 128 rows) per output group tile (5 bits)
+GS = 32         # subgroups (of 128 rows) per output group tile (5 bits).
+                # GS=128 would fill the routing matmul's 128-row MXU
+                # height, but measured SLOWER: the per-chunk += on a
+                # 4x-larger output tile costs more VMEM read/write
+                # traffic than the routing passes save.
 # per-slot descriptor word: pidx (6 bits) | wid << 6 | sgr << 7
 
 
@@ -310,6 +314,38 @@ def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None):
     }
 
 
+def _select_dot(oh, x, transpose_lhs=False):
+    """One-hot selection/routing matmul with EXACT f32 values in 3 bf16
+    MXU passes.
+
+    The one-hot operand is 0/1 — exactly representable in bf16 — so only
+    ``x`` needs splitting: ``x = s1 + s2 + s3`` with each ``s_i`` bf16
+    (8 mantissa bits x 3 covers f32's 24) and the residuals exactly
+    representable (Dekker-style).  Each default-precision bf16 pass
+    accumulates in f32, and a one-hot row selects a single ``s_i`` term,
+    so the sum reproduces the f32 input bit-for-bit.  Measured ~1.4x the
+    ``precision=HIGHEST`` f32 emulation on v5e (which also splits the
+    one-hot side redundantly).
+    """
+    oh16 = oh.astype(jnp.bfloat16)
+    dims = (
+        (((0,), (0,)), ((), ())) if transpose_lhs
+        else (((1,), (0,)), ((), ()))
+    )
+    s1 = x.astype(jnp.bfloat16)
+    r1 = x - s1.astype(jnp.float32)
+    s2 = r1.astype(jnp.bfloat16)
+    s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for s in (s1, s2, s3):
+        p = lax.dot_general(
+            oh16, s, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        out = p if out is None else out + p
+    return out
+
+
 def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc):
     @pl.when(mv_ref[0, 0] == 1)
     def _():
@@ -323,12 +359,8 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc):
     # All one-hots are built LANE-MAJOR straight from the metadata rows (no
     # transpose: Mosaic relayouts of small int tiles cost ~15% of the whole
     # kernel).  The page table per 128-slot half comes out of a transposed
-    # contraction: tab_half[l, j] = sum_q ohT[q, l] * xs[q, j].
-    #
-    # precision=HIGHEST (bf16x3 passes on v5e) makes the one-hot row
-    # selection numerically EXACT: each one-hot column has a single 1, so
-    # each pass accumulates one product and the three splits sum back to
-    # the f32 x value without rounding.
+    # contraction: tab_half[l, j] = sum_q ohT[q, l] * xs[q, j], computed
+    # by _select_dot (exact selection, 3 bf16 MXU passes).
     iota_q = lax.broadcasted_iota(jnp.int32, (2 * CWP, 128), 0)
     iota_s = lax.broadcasted_iota(jnp.int32, (GS, 128), 0)
     tab_halves, ohs_halves = [], []
@@ -336,13 +368,7 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc):
         drow = mv[1 + i : 2 + i, :]                         # (1, 128)
         pw = (drow & (CWP - 1)) + ((drow >> 6) & 1) * CWP
         ohT = (pw == iota_q).astype(xs.dtype)               # (2*CWP, 128)
-        tab_halves.append(
-            lax.dot_general(
-                ohT, xs, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
-        )
+        tab_halves.append(_select_dot(ohT, xs, transpose_lhs=True))
         ohs_halves.append((drow >> 7) == iota_s)
     tab = (
         jnp.concatenate(tab_halves, axis=0) if lc > 128 else tab_halves[0]
@@ -355,11 +381,7 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc):
     vals = jnp.take_along_axis(tab, lcol, axis=1)           # (LC, 128)
     contrib = dat_ref[:, :].astype(vals.dtype) * vals
 
-    o_ref[:, :] += jnp.dot(
-        onehot_s.astype(contrib.dtype), contrib,
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
+    o_ref[:, :] += _select_dot(onehot_s.astype(contrib.dtype), contrib)
 
 
 @functools.partial(
@@ -387,6 +409,146 @@ def _pet_matvec_padded(
         out_shape=jax.ShapeDtypeStruct((ngroups * GS, 128), jnp.float32),
         interpret=interpret,
     )(meta, meta_v, ent, dat, x_pad2d)
+
+
+def _pet_spmm_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref,
+                     *, lc, k):
+    """Multi-RHS (SpMM) variant of :func:`_pet_kernel`.
+
+    The reference's core selling point #4 is blocked multi-RHS everywhere
+    (reference: src/krylov/_helpers.py:101-110).  Here the PET metadata —
+    the format's whole streaming cost — is decoded ONCE per chunk and
+    amortized over all ``k`` right-hand sides.
+
+    The RHS block is laid out **column-in-lane-major**: ``xw`` has
+    ``k * 128`` lanes where lane ``c*128 + j`` holds column ``c``'s value
+    at in-page position ``j``.  With that layout the window slice, the
+    one-hot page-table contraction ``(2*CWP, k*128)`` and the output
+    routing ``(GS, k*128)`` are each ONE wide MXU op shared by all
+    columns; only the hardware lane-gather runs per column, on
+    tile-aligned slices of the wide table (its table must be 128 lanes).
+
+    Streamed metadata bytes per chunk are identical to the matvec kernel;
+    MXU work scales with k (inherent — every column's values must be
+    selected).
+    """
+    @pl.when(mv_ref[0, 0] == 1)
+    def _():
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+
+    mv = mv_ref[:, :]                                   # (8, 128) int32
+    # _schedule_slots aligns every sub-window base to 8 pages; the hint
+    # lets Mosaic prove the sublane alignment of the wide dynamic load
+    cb0 = pl.multiple_of(mv_ref[0, 1], 8)
+    cb1 = pl.multiple_of(mv_ref[0, 2], 8)
+    xs0 = xw_ref[pl.ds(cb0, CWP), :]                    # (CWP, k*128)
+    xs1 = xw_ref[pl.ds(cb1, CWP), :]
+    xs = jnp.concatenate([xs0, xs1], axis=0)            # (2*CWP, k*128)
+
+    iota_q = lax.broadcasted_iota(jnp.int32, (2 * CWP, 128), 0)
+    iota_s = lax.broadcasted_iota(jnp.int32, (GS, 128), 0)
+    tab_halves, ohs_halves = [], []
+    for i in range(lc // 128):
+        drow = mv[1 + i : 2 + i, :]                     # (1, 128)
+        pw = (drow & (CWP - 1)) + ((drow >> 6) & 1) * CWP
+        ohT = (pw == iota_q).astype(xs.dtype)           # (2*CWP, 128)
+        # exact one-hot selection in 3 bf16 MXU passes (see _select_dot)
+        tab_halves.append(_select_dot(ohT, xs, transpose_lhs=True))
+        ohs_halves.append((drow >> 7) == iota_s)
+    tab = (
+        jnp.concatenate(tab_halves, axis=0) if lc > 128 else tab_halves[0]
+    )                                                   # (LC, k*128)
+    onehot_s = (
+        jnp.concatenate(ohs_halves, axis=1) if lc > 128 else ohs_halves[0]
+    )                                                   # (GS, LC)
+
+    lcol = ent_ref[:, :].astype(jnp.int32)              # (LC, 128)
+    dat = dat_ref[:, :]
+    contrib_cols = []
+    for c in range(k):
+        # the gather table must be 128 lanes: slice column c's lane tile
+        vals = jnp.take_along_axis(
+            lax.slice(tab, (0, c * 128), (lc, (c + 1) * 128)), lcol, axis=1
+        )
+        contrib_cols.append(dat.astype(vals.dtype) * vals)
+    contrib = jnp.concatenate(contrib_cols, axis=1)     # (LC, k*128)
+
+    o_ref[:, :] += _select_dot(
+        onehot_s.astype(contrib.dtype), contrib
+    )                                                   # (GS, k*128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nchunks", "ngroups", "pages_pad", "lc", "k",
+                     "interpret"),
+)
+def _pet_matmat_padded(
+    ent, dat, meta, meta_v, x_wide, *, nchunks, ngroups, pages_pad, lc, k,
+    interpret,
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda t, m: (t, 0)),
+            pl.BlockSpec((lc, 128), lambda t, m: (t, 0)),
+            pl.BlockSpec((lc, 128), lambda t, m: (t, 0)),
+            pl.BlockSpec((WPAGES, k * 128), lambda t, m: (m[t] >> 16, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (GS, k * 128), lambda t, m: (m[t] & 0xFFFF, 0)
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_pet_spmm_kernel, lc=lc, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (ngroups * GS, k * 128), jnp.float32
+        ),
+        interpret=interpret,
+    )(meta, meta_v, ent, dat, x_wide)
+
+
+# columns per SpMM kernel pass: bounds the x-window VMEM footprint
+# (2 pipeline buffers x k x 128 KB) while amortizing the metadata stream
+PET_SPMM_MAX_COLS = 8
+
+
+def pet_matmat(pet, x2, interpret=None, max_cols=PET_SPMM_MAX_COLS):
+    """Y = A @ X with A in PET form; X of shape ``(shape[1], k)``.
+
+    Columns are processed ``max_cols`` per kernel pass; each pass streams
+    the chunk metadata once for its whole column block.
+    """
+    n, m = pet["shape"]
+    if interpret is None:
+        interpret = not _on_tpu()
+    pages_pad = pet["pages_pad"]
+    outs = []
+    for c0 in range(0, x2.shape[1], max_cols):
+        blk = x2[:, c0 : c0 + max_cols].astype(jnp.float32)
+        kb = blk.shape[1]
+        # column-in-lane-major: x_wide[p, c*128 + j] = x[p*128 + j, c]
+        xp = jnp.pad(blk, ((0, pages_pad * 128 - m), (0, 0)))
+        x_wide = (
+            xp.reshape(pages_pad, 128, kb)
+            .transpose(0, 2, 1)
+            .reshape(pages_pad, kb * 128)
+        )
+        y = _pet_matmat_padded(
+            pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], x_wide,
+            nchunks=pet["nchunks"], ngroups=pet["ngroups"],
+            pages_pad=pages_pad, lc=pet.get("lc", LC), k=kb,
+            interpret=interpret,
+        )
+        rows = y.shape[0]
+        outs.append(
+            y.reshape(rows, kb, 128)
+            .transpose(0, 2, 1)
+            .reshape(rows * 128, kb)[:n]
+        )
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _on_tpu():
@@ -469,12 +631,9 @@ class PETOperator:
     def __matmul__(self, x):
         if x.ndim == 1:
             return pet_matvec(self._pet, x, self._interpret)
-        # blocked multi-RHS: one lane-gather pipeline per column
-        cols = [
-            pet_matvec(self._pet, x[:, j], self._interpret)
-            for j in range(x.shape[1])
-        ]
-        return jnp.stack(cols, axis=1)
+        # blocked multi-RHS: the SpMM kernel amortizes the index/metadata
+        # stream over up to PET_SPMM_MAX_COLS columns per pass
+        return pet_matmat(self._pet, x, self._interpret)
 
     matvec = __matmul__
 
@@ -492,11 +651,7 @@ class PETOperator:
             )
         if x.ndim == 1:
             return pet_matvec(self._pet_t, x, self._interpret)
-        cols = [
-            pet_matvec(self._pet_t, x[:, j], self._interpret)
-            for j in range(x.shape[1])
-        ]
-        return jnp.stack(cols, axis=1)
+        return pet_matmat(self._pet_t, x, self._interpret)
 
     def diagonal(self):
         return self._diag

@@ -48,8 +48,15 @@ def partition_csr(A, n_shards):
     A = A.tocsr()
     A.sort_indices()
     N = A.shape[0]
-    if N % n_shards:
-        raise ValueError(f"N={N} not divisible by n_shards={n_shards}")
+    pad = (-N) % n_shards
+    if pad:
+        # zero row/column padding: padded entries of every solver vector
+        # start at zero and stay at zero (zero rows produce zero outputs,
+        # zero columns contribute nothing to real rows), so trajectories
+        # are bit-identical to the unpadded problem — no masking needed
+        A = A.copy()
+        A.resize((N + pad, A.shape[1] + pad))
+        N = N + pad
     n_local = N // n_shards
 
     # per-shard COO with global columns

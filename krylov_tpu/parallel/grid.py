@@ -179,11 +179,15 @@ class ShardedConstStencilOperator:
     operator; the in-kernel Dirichlet masks use global row coordinates.
     """
 
-    def __init__(self, op, m_local, axis=ROWS):
-        # op: the GLOBAL ConstStencilOperator (weights/bands are static)
+    def __init__(self, op, m_local, axis=ROWS, m_valid=None):
+        # op: the GLOBAL ConstStencilOperator (weights/bands are static).
+        # m_valid: global count of REAL grid rows when the grid was padded
+        # to the shard multiple — output rows >= m_valid are masked to
+        # zero so padded entries never contaminate residuals/inners.
         self._op = op
         self.m_local = int(m_local)
         self.axis = axis
+        self.m_valid = None if m_valid is None else int(m_valid)
 
     @property
     def dtype(self):
@@ -224,7 +228,13 @@ class ShardedConstStencilOperator:
         top = lax.ppermute(x2[-h:], self.axis, _identity_perm_shift(n_ax, +1))
         bot = lax.ppermute(x2[:h], self.axis, _identity_perm_shift(n_ax, -1))
         row0 = lax.axis_index(self.axis) * self.m_local
-        return self._op._apply_grid(x2, row0=row0, top_halo=top, bot_halo=bot)
+        y = self._op._apply_grid(x2, row0=row0, top_halo=top, bot_halo=bot)
+        if self.m_valid is not None:
+            # const weights apply at padded rows too; zero them so the
+            # padded entries of every solver vector stay exactly zero
+            gidx = row0 + jnp.arange(self.m_local)
+            y = jnp.where((gidx < self.m_valid)[:, None], y, 0)
+        return y
 
     matvec = __matmul__
 
@@ -241,9 +251,9 @@ class ShardedConstStencilOperator:
         return jnp.full(self.grid, d, self.dtype)
 
     def tree_flatten(self):
-        return (), (self._op, self.m_local, self.axis)
+        return (), (self._op, self.m_local, self.axis, self.m_valid)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        op, m_local, axis = aux
-        return cls(op, m_local, axis=axis)
+        op, m_local, axis, m_valid = aux
+        return cls(op, m_local, axis=axis, m_valid=m_valid)

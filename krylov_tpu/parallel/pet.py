@@ -142,18 +142,15 @@ class ShardedPETOperator:
             if self._interpret is None
             else self._interpret
         )
-        return ps.pet_matvec(pet, x_full, interpret=interpret)
+        if x_full.ndim == 1:
+            return ps.pet_matvec(pet, x_full, interpret=interpret)
+        # blocked multi-RHS: the SpMM kernel streams each chunk's
+        # index/metadata once for the whole column block
+        return ps.pet_matmat(pet, x_full, interpret=interpret)
 
     def _cols(self, prefix, geom, x, n_out):
         x_full = lax.all_gather(x, self.axis, tiled=True)
-        if x.ndim == 1:
-            return self._apply(prefix, geom, x_full, n_out)
-        # blocked multi-RHS: one kernel pipeline per column
-        cols = [
-            self._apply(prefix, geom, x_full[:, j], n_out)
-            for j in range(x.shape[1])
-        ]
-        return jnp.stack(cols, axis=1)
+        return self._apply(prefix, geom, x_full, n_out)
 
     def __matmul__(self, x):
         return self._cols("", self._geom, x, self.n_local)

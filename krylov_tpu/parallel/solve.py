@@ -111,10 +111,26 @@ def sharded_solve(
         )
 
     N = b.shape[0]
-    if N % n_rows:
-        raise ValueError(f"N={N} not divisible by rows-axis size {n_rows}")
     if maxiter is None:
         maxiter = N
+    pad_rows = (-N) % n_rows
+    if pad_rows and not (isinstance(A, CSROperator) or hasattr(A, "tocsr")):
+        # zero-row padding is implemented for the general-sparsity CSR
+        # route (and the grid routes above); structured formats keep the
+        # divisibility requirement
+        raise ValueError(
+            f"N={N} not divisible by rows-axis size {n_rows} "
+            f"(auto-padding supports scipy/CSR and grid operators)"
+        )
+    if pad_rows:
+        zpad = jnp.zeros((pad_rows,) + b.shape[1:], b.dtype)
+        b = jnp.concatenate([b, zpad], axis=0)
+        if x0 is not None:
+            x0 = jnp.concatenate([jnp.asarray(x0), zpad], axis=0)
+        if M_diag is not None:
+            M_diag = jnp.concatenate(
+                [jnp.asarray(M_diag), jnp.ones(pad_rows, b.dtype)], axis=0
+            )
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 
     rhs_axis = RHS if (shard_rhs and b.ndim > 1) else None
@@ -231,6 +247,8 @@ def sharded_solve(
     )
     xk, success, numsteps, buf = jax.jit(fn)(b, x0, Md, *A_arrays)
 
+    if pad_rows:
+        xk = xk[:N]
     numsteps = int(np.max(np.asarray(numsteps)))
     success = bool(np.all(np.asarray(success)))
     resnorms = np.asarray(buf)[: numsteps + 1]
@@ -259,8 +277,6 @@ def _sharded_solve_grid(
     else:  # grid multi-RHS (Mg, ny, k)
         n_rhs = b.shape[2]
         b2 = b
-    if Mg % n_rows:
-        raise ValueError(f"grid rows {Mg} not divisible by mesh rows {n_rows}")
     N = Mg * ny
     if maxiter is None:
         maxiter = N
@@ -274,16 +290,50 @@ def _sharded_solve_grid(
         if M_diag is None
         else jnp.asarray(M_diag).reshape(Mg, ny)
     )
-    Md_spec = P() if M_diag is None else P(ROWS, None)
 
     is_const = isinstance(A, ConstStencilOperator)
+    pad_grid = (-Mg) % n_rows
+    coeffs_global = None if is_const else A.coeffs2d
+    if pad_grid:
+        # pad GRID ROWS to the shard multiple.  Variable-coefficient
+        # operators get zero coefficient rows (padded outputs exactly
+        # zero); the const-stencil operator masks rows >= Mg in its local
+        # matvec instead (its weights are global constants).  Real rows
+        # near the bottom edge read the padded x rows as zeros — identical
+        # to the operators' zero Dirichlet boundary — so trajectories are
+        # unchanged.
+        gpad = jnp.zeros((pad_grid,) + b2.shape[1:], b2.dtype)
+        b2 = jnp.concatenate([b2, gpad], axis=0)
+        x02 = jnp.concatenate([x02, gpad], axis=0)
+        if M_diag is not None:
+            Md2 = jnp.concatenate(
+                [Md2, jnp.ones((pad_grid, ny), b2.dtype)], axis=0
+            )
+        if not is_const:
+            coeffs_global = jnp.concatenate(
+                [
+                    coeffs_global,
+                    jnp.zeros(
+                        (coeffs_global.shape[0], pad_grid)
+                        + coeffs_global.shape[2:],
+                        coeffs_global.dtype,
+                    ),
+                ],
+                axis=1,
+            )
+    Mg_pad = Mg + pad_grid
+    Md_spec = P() if M_diag is None else P(ROWS, None)
+
     if not is_const:
         offsets, ny_, herm = A.offsets, A.ny, A.hermitian
-    m_local = Mg // n_rows
+    m_local = Mg_pad // n_rows
 
     def local_solve(b_l, x0_l, Md_l, coeffs_l):
         if is_const:
-            A_op = ShardedConstStencilOperator(A, m_local, axis=ROWS)
+            A_op = ShardedConstStencilOperator(
+                A, m_local, axis=ROWS,
+                m_valid=Mg if pad_grid else None,
+            )
         else:
             A_op = ShardedGridStencilOperator(
                 coeffs_l, offsets, ny_, axis=ROWS, hermitian=herm
@@ -320,7 +370,7 @@ def _sharded_solve_grid(
         )
 
     coeff_arr = (
-        jnp.zeros((1, 1, 1), b2.dtype) if is_const else A.coeffs2d
+        jnp.zeros((1, 1, 1), b2.dtype) if is_const else coeffs_global
     )
     coeff_spec = P() if is_const else P(None, ROWS, None)
     vec_spec = P(ROWS, *([None] * (b2.ndim - 1)))
@@ -333,6 +383,8 @@ def _sharded_solve_grid(
     )
     xk, success, numsteps, buf = jax.jit(fn)(b2, x02, Md2, coeff_arr)
 
+    if pad_grid:
+        xk = xk[:Mg]
     numsteps = int(np.max(np.asarray(numsteps)))
     success = bool(np.all(np.asarray(success)))
     resnorms = np.asarray(buf)[: numsteps + 1]

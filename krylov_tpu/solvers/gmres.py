@@ -29,7 +29,7 @@ from .._driver import EAGER, WHILE_LOOP, Method, run
 from .._info import Info
 from .._inner import ensure_real
 from .._operators import Identity, Product
-from ..arnoldi import ArnoldiHouseholder, ArnoldiMGS
+from ..arnoldi import ArnoldiHouseholder, ArnoldiMGS, padded_reflector_at
 from ..givens import apply_givens, givens
 from ..ops.triangular import multi_solve_triangular
 from ._common import preconditioner, setup
@@ -94,11 +94,16 @@ def gmres(
     )
 
     if backend == WHILE_LOOP:
+        if ortho == "householder":
+            if not inner_is_none:
+                raise ValueError(
+                    "ortho='householder' requires the default inner product"
+                )
+            if not isinstance(M, Identity):
+                raise ValueError("ortho='householder' does not support M")
+            return _gmres_while_householder(**common)
         if not ortho.startswith("mgs"):
-            raise ValueError(
-                "backend='while_loop' supports ortho='mgs'/'mgs<N>' "
-                "(householder orthogonalization is eager-only)"
-            )
+            raise ValueError(f"unknown orthogonalization {ortho!r}")
         num_reorthos = 1 if len(ortho) == 3 else int(ortho[3:])
         return _gmres_while(num_reorthos=num_reorthos, **common)
 
@@ -230,6 +235,39 @@ def _gmres_eager(
     return xk if success else None, info
 
 
+def _givens_qr_update(G, R, y, h, k, dtype):
+    """Fold Hessenberg column ``h`` into the running Givens QR.
+
+    Applies the ``k`` stored rotations to ``h``, generates + stores the
+    rotation annihilating the subdiagonal, updates column ``k`` of R and
+    rotates the projected rhs ``y``.  Returns ``(G, R, y, |y[k+1]|)`` —
+    the last value is the GMRES residual-norm recurrence.
+    """
+
+    def rot_body(i, c):
+        pair = apply_givens(G[i], jnp.stack([c[i], c[i + 1]]))
+        return c.at[i].set(pair[0]).at[i + 1].set(pair[1])
+
+    c = lax.fori_loop(0, k, rot_body, h)
+
+    g, r = givens(jnp.stack([c[k], c[k + 1]]))
+    c = c.at[k].set(r).at[k + 1].set(jnp.zeros_like(r))
+    R = lax.dynamic_update_index_in_dim(R, c[:-1].astype(dtype), k, 1)
+    G = G.at[k].set(g.astype(dtype))
+
+    ypair = apply_givens(g.astype(dtype), jnp.stack([y[k], y[k + 1]]))
+    y = y.at[k].set(ypair[0]).at[k + 1].set(ypair[1])
+    return G, R, y, jnp.abs(ypair[1])
+
+
+def _eye2_rotations(K, tail, dtype):
+    eye2 = jnp.broadcast_to(
+        jnp.eye(2, dtype=dtype).reshape((2, 2) + (1,) * len(tail)),
+        (2, 2) + tail,
+    )
+    return jnp.broadcast_to(eye2, (K, 2, 2) + tail).astype(dtype)
+
+
 class _WhileState(NamedTuple):
     k: jnp.ndarray  # iteration counter (needed by the masked MGS)
     V: jnp.ndarray  # (K+1, N, *tail) M-preconditioned basis
@@ -252,10 +290,7 @@ def _gmres_while(
     V0 = jnp.zeros((K + 1,) + b.shape, dtype).at[0].set(M_Ml_r0 / safe0)
     P0 = jnp.zeros((K + 1,) + b.shape, dtype).at[0].set(Ml_r0 / safe0)
     R0 = jnp.zeros((K + 1, K) + tail, dtype)
-    eye2 = jnp.broadcast_to(
-        jnp.eye(2, dtype=dtype).reshape((2, 2) + (1,) * len(tail)), (2, 2) + tail
-    )
-    G0 = jnp.broadcast_to(eye2, (K, 2, 2) + tail).astype(dtype)
+    G0 = _eye2_rotations(K, tail, dtype)
     y0 = jnp.zeros((K + 1,) + tail, dtype).at[0].set(norm0)
 
     state0 = _WhileState(
@@ -286,24 +321,8 @@ def _gmres_while(
         V = s.V.at[k + 1].set(MAv / safe)
         P = s.P.at[k + 1].set(Av / safe)
 
-        # apply the k previous rotations to the new column
-        def rot_body(i, c):
-            pair = apply_givens(s.G[i], jnp.stack([c[i], c[i + 1]]))
-            return c.at[i].set(pair[0]).at[i + 1].set(pair[1])
-
-        c = lax.fori_loop(0, k, rot_body, h)
-
-        g, r = givens(jnp.stack([c[k], c[k + 1]]))
-        c = c.at[k].set(r).at[k + 1].set(jnp.zeros_like(r))
-        R = lax.dynamic_update_index_in_dim(s.R, c[:-1].astype(dtype), k, 1)
-        G = s.G.at[k].set(g.astype(dtype))
-
-        ypair = apply_givens(g.astype(dtype), jnp.stack([s.y[k], s.y[k + 1]]))
-        y = s.y.at[k].set(ypair[0]).at[k + 1].set(ypair[1])
-
-        return _WhileState(
-            k=k + 1, V=V, P=P, R=R, G=G, y=y, resnorm=jnp.abs(ypair[1])
-        )
+        G, R, y, resnorm = _givens_qr_update(s.G, s.R, s.y, h, k, dtype)
+        return _WhileState(k=k + 1, V=V, P=P, R=R, G=G, y=y, resnorm=resnorm)
 
     def xk_of(s: _WhileState):
         kk = s.k
@@ -315,6 +334,131 @@ def _gmres_while(
         Rsq = s.R[:K] + jnp.diag(diag_fix).reshape((K, K) + (1,) * len(tail))
         yv = jnp.where(
             active.reshape((K,) + (1,) * len(tail)), s.y[:K], jnp.zeros_like(s.y[:K])
+        )
+        yy = multi_solve_triangular(Rsq, yv)
+        yk = jnp.einsum("k...,kn...->n...", yy, s.V[:K])
+        return x0 + Mr @ yk
+
+    method = Method(step=step, xk=xk_of, explicit_resnorm=residual_norm)
+    state, success, k, resnorms = run(
+        state0, method, tol=tol, atol=atol, maxiter=maxiter,
+        callback=None, backend=WHILE_LOOP,
+    )
+
+    xk = xk_of(state)
+    kk = int(k) if not isinstance(k, jax.core.Tracer) else k
+    info = Info(success, xk, kk, resnorms, _num_operations(kk))
+    if isinstance(success, (bool, np.bool_)):
+        return xk if success else None, info
+    return xk, info
+
+
+class _WhileHouseState(NamedTuple):
+    k: jnp.ndarray  # iteration counter
+    V: jnp.ndarray  # (K+1, N, *tail) orthonormal basis (reconstructed)
+    U: jnp.ndarray  # (K+2, N, *tail) padded reflector directions
+    betas: jnp.ndarray  # (K+2, *tail)
+    alphas: jnp.ndarray  # (K+2, *tail) phase factors
+    R: jnp.ndarray  # (K+1, K, *tail) triangular factor
+    G: jnp.ndarray  # (K, 2, 2, *tail) rotation history
+    y: jnp.ndarray  # (K+1, *tail) rotated projected rhs
+    resnorm: jnp.ndarray
+
+
+def _gmres_while_householder(
+    *, A, b, x0, M, Ml, Mr, Ml_A_Mr, inner, residual_norm, Ml_r0, M_Ml_r0,
+    norm0, tol, atol, maxiter, callback,
+):
+    """Compiled Householder-Arnoldi GMRES.
+
+    The reference offers householder orthogonalization as a first-class
+    GMRES mode (reference: src/krylov/gmres.py:147-162); here it runs
+    fully under ``lax.while_loop``: reflectors are stored as full-length
+    padded vectors (:func:`krylov_tpu.arnoldi.padded_reflector_at`), so
+    the projection sweep and the basis reconstruction are ``fori_loop``
+    chains of whole-vector updates with no suffix slicing.
+    """
+    K = maxiter
+    N = b.shape[0]
+    tail = jnp.shape(norm0)
+    dtype = M_Ml_r0.dtype
+    idxN = jnp.arange(N).reshape((N,) + (1,) * len(tail))
+    idxK = jnp.arange(K + 1).reshape((K + 1,) + (1,) * len(tail))
+
+    def reflect(u, beta, w):
+        return w - beta * u * jnp.sum(jnp.conj(u) * w, axis=0)
+
+    u0, b0, a0, _ = padded_reflector_at(Ml_r0.astype(dtype), 0)
+    safe0 = jnp.where(norm0 != 0.0, norm0, 1.0)
+    V0 = jnp.zeros((K + 1,) + b.shape, dtype).at[0].set(
+        Ml_r0.astype(dtype) / safe0
+    )
+    U0 = jnp.zeros((K + 2,) + b.shape, dtype).at[0].set(u0)
+    betas0 = jnp.zeros((K + 2,) + tail, dtype).at[0].set(b0.astype(dtype))
+    alphas0 = jnp.zeros((K + 2,) + tail, dtype).at[0].set(a0.astype(dtype))
+    R0 = jnp.zeros((K + 1, K) + tail, dtype)
+    G0 = _eye2_rotations(K, tail, dtype)
+    y0 = jnp.zeros((K + 1,) + tail, dtype).at[0].set(norm0)
+
+    state0 = _WhileHouseState(
+        k=jnp.asarray(0, jnp.int32), V=V0, U=U0, betas=betas0,
+        alphas=alphas0, R=R0, G=G0, y=y0, resnorm=norm0,
+    )
+
+    def step(s: _WhileHouseState, criterion) -> _WhileHouseState:
+        k = s.k
+        w = jnp.asarray(Ml_A_Mr @ s.V[k]).astype(dtype)
+
+        # forward projection: reflectors 0..k, fixing the phase of entry j
+        def proj_body(j, w):
+            w = reflect(s.U[j], s.betas[j], w)
+            return jnp.where(idxN == j, w * jnp.conj(s.alphas[j]), w)
+
+        w = lax.fori_loop(0, k + 1, proj_body, w)
+
+        # new reflector annihilating w below position k+1
+        u, beta, alpha, xnorm = padded_reflector_at(w, k + 1)
+        U = s.U.at[k + 1].set(u)
+        betas = s.betas.at[k + 1].set(beta.astype(dtype))
+        alphas = s.alphas.at[k + 1].set(alpha.astype(dtype))
+        w = reflect(u, beta.astype(dtype), w)
+        w = jnp.where(idxN == k + 1, w * jnp.conj(alpha), w)
+
+        # Hessenberg column: entries 0..k, then |w[k+1]| = xnorm
+        wk = w if N >= K + 1 else jnp.concatenate(
+            [w, jnp.zeros((K + 1 - N,) + w.shape[1:], dtype)], axis=0
+        )
+        h = jnp.where(idxK <= k, wk[: K + 1], 0)
+        h = jnp.where(idxK == k + 1, xnorm.astype(dtype), h)
+
+        # basis vector k+1: reflectors k+1..0 applied to e_{k+1} in
+        # reverse, scaled by the newest phase
+        e = jnp.where(idxN == k + 1, jnp.ones((), dtype), jnp.zeros((), dtype))
+        e = jnp.broadcast_to(e, b.shape).astype(dtype)
+
+        def recon_body(i, e):
+            j = k + 1 - i
+            return reflect(U[j], betas[j], e)
+
+        e = lax.fori_loop(0, k + 2, recon_body, e)
+        V = s.V.at[k + 1].set(e * alphas[k + 1])
+
+        G, R, y, resnorm = _givens_qr_update(s.G, s.R, s.y, h, k, dtype)
+        return _WhileHouseState(
+            k=k + 1, V=V, U=U, betas=betas, alphas=alphas, R=R, G=G, y=y,
+            resnorm=resnorm,
+        )
+
+    def xk_of(s: _WhileHouseState):
+        kk = s.k
+        idx = jnp.arange(K)
+        active = idx < kk
+        diag_fix = jnp.where(active, 0.0, 1.0).astype(dtype)
+        Rsq = s.R[:K] + jnp.diag(diag_fix).reshape((K, K) + (1,) * len(tail))
+        yv = jnp.where(
+            active.reshape((K,) + (1,) * len(tail)),
+            s.y[:K],
+            jnp.zeros_like(s.y[:K]),
         )
         yy = multi_solve_triangular(Rsq, yv)
         yk = jnp.einsum("k...,kn...->n...", yy, s.V[:K])

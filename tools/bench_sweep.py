@@ -191,7 +191,11 @@ def main():
         import scipy.sparse
 
         from krylov_tpu.ops.bsr import BSROperator
-        from krylov_tpu.ops.pallas_spmv import build_pet, _pet_matvec_padded
+        from krylov_tpu.ops.pallas_spmv import (
+            _pet_matmat_padded,
+            _pet_matvec_padded,
+            build_pet,
+        )
 
         brng = np.random.default_rng(1)
         R, nb = 128, 128  # 16384 rows, block tridiagonal of 128x128 blocks
@@ -227,39 +231,95 @@ def main():
             "rhs_nnz_per_s": round(nnz * K_RHS / dt_b, 1), "device": kind,
         }))
 
-        pet = build_pet(sp_b)
-
-        @partial(jax.jit, static_argnums=5)
-        def chain_pet_rhs(ent, dat, meta, meta_v, x2, K):
+        def pet_rhs_chains(pet, n):
+            """(SpMM-kernel chain, per-column chain) for one PET matrix."""
             npad = pet["pages_pad"] * 128
+            geom = dict(
+                nchunks=pet["nchunks"], ngroups=pet["ngroups"],
+                pages_pad=pet["pages_pad"], lc=pet["lc"], interpret=False,
+            )
 
-            def one(v):
-                y = _pet_matvec_padded(
-                    ent, dat, meta, meta_v, v.reshape(pet["pages_pad"], 128),
-                    nchunks=pet["nchunks"], ngroups=pet["ngroups"],
-                    pages_pad=pet["pages_pad"], lc=pet["lc"],
-                    interpret=False,
-                ).reshape(-1)
-                return jnp.pad(y[:n], (0, npad - n))
+            @partial(jax.jit, static_argnums=5)
+            def chain_spmm(ent, dat, meta, meta_v, xw, K):
+                # xw: column-in-lane-major (pages_pad, K_RHS*128); the
+                # kernel output shares the layout, so feedback is a
+                # row slice/pad
+                def body(i, u):
+                    y = _pet_matmat_padded(
+                        ent, dat, meta, meta_v, u, k=K_RHS, **geom
+                    )
+                    rows = u.shape[0]
+                    y = (
+                        y[:rows]
+                        if y.shape[0] >= rows
+                        else jnp.pad(y, ((0, rows - y.shape[0]), (0, 0)))
+                    )
+                    return y * 1e-3 + u * 0.5
 
-            def body(i, u):
-                y = jax.vmap(one, in_axes=1, out_axes=1)(u)
-                return y * 1e-3 + u * 0.5
+                return lax.fori_loop(0, K, body, xw)
 
-            return lax.fori_loop(0, K, body, x2)
+            @partial(jax.jit, static_argnums=5)
+            def chain_percol(ent, dat, meta, meta_v, x2, K):
+                def one(v):
+                    y = _pet_matvec_padded(
+                        ent, dat, meta, meta_v,
+                        v.reshape(pet["pages_pad"], 128), **geom
+                    ).reshape(-1)
+                    return jnp.pad(y[:n], (0, npad - n))
 
-        Xp = jnp.pad(X, ((0, pet["pages_pad"] * 128 - n), (0, 0)))
-        dt_p = _timed(
-            chain_pet_rhs, (pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], Xp),
-            k_lo=8, k_hi=72,
+                def body(i, u):
+                    y = jax.vmap(one, in_axes=1, out_axes=1)(u)
+                    return y * 1e-3 + u * 0.5
+
+                return lax.fori_loop(0, K, body, x2)
+
+            return chain_spmm, chain_percol
+
+        def bench_pet_rhs(tag, sp_mat, X, dt_ref=None):
+            pet = build_pet(sp_mat)
+            nloc = sp_mat.shape[0]
+            chain_spmm, chain_percol = pet_rhs_chains(pet, nloc)
+            args = (pet["ent"], pet["dat"], pet["meta"], pet["meta_v"])
+            Xp = jnp.pad(X, ((0, pet["pages_pad"] * 128 - nloc), (0, 0)))
+            Xw = (
+                Xp.reshape(pet["pages_pad"], 128, K_RHS)
+                .transpose(0, 2, 1)
+                .reshape(pet["pages_pad"], K_RHS * 128)
+            )
+            dt_s = _timed(chain_spmm, args + (Xw,), k_lo=8, k_hi=72)
+            dt_c = _timed(chain_percol, args + (Xp,), k_lo=8, k_hi=72)
+            nz = sp_mat.nnz
+            rec = {
+                "bench": tag, "n_rows": nloc,
+                "us": round(dt_s * 1e6, 1),
+                "percol_us": round(dt_c * 1e6, 1),
+                "nnz_per_s": round(nz / dt_s, 1),
+                "rhs_nnz_per_s": round(nz * K_RHS / dt_s, 1),
+                "spmm_vs_percol": round(dt_c / dt_s, 2),
+                "fill": round(pet["fill"], 3), "device": kind,
+            }
+            if dt_ref is not None:
+                rec["bsr_speedup"] = round(dt_s / dt_ref, 2)
+            print(json.dumps(rec))
+
+        bench_pet_rhs("spmm_csrpet_multirhs8_f32", sp_b, X, dt_ref=dt_b)
+
+        # irregular general sparsity (no block structure): the case the
+        # PET format exists for; VERDICT r2 target is spmm_vs_percol >= 3
+        irng = np.random.default_rng(5)
+        n_irr = 1 << 20
+        rr = np.repeat(np.arange(n_irr), 8)
+        cc = np.clip(rr + irng.integers(-2048, 2048, size=rr.size),
+                     0, n_irr - 1)
+        sp_irr = scipy.sparse.csr_matrix(
+            (irng.standard_normal(rr.size).astype(np.float32), (rr, cc)),
+            shape=(n_irr, n_irr),
         )
-        print(json.dumps({
-            "bench": "spmm_csrpet_multirhs8_f32", "n_rows": n,
-            "us": round(dt_p * 1e6, 1),
-            "nnz_per_s": round(nnz / dt_p, 1),
-            "rhs_nnz_per_s": round(nnz * K_RHS / dt_p, 1),
-            "bsr_speedup": round(dt_p / dt_b, 2), "device": kind,
-        }))
+        sp_irr.sum_duplicates()
+        X_irr = jnp.asarray(
+            irng.standard_normal((n_irr, K_RHS)), jnp.float32
+        )
+        bench_pet_rhs("spmm_csrpet_irregular_multirhs8_f32", sp_irr, X_irr)
 
 
 if __name__ == "__main__":

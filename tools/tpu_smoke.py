@@ -30,9 +30,11 @@ def main():
 
     rng = np.random.default_rng(0)
     failures = []
+    n_checks = [0]
 
     def check(name, relres, tol):
         ok = bool(relres <= tol)
+        n_checks[0] += 1
         print(json.dumps({"check": name, "relres": float(relres),
                           "tol": tol, "ok": ok}))
         if not ok:
@@ -110,6 +112,13 @@ def main():
     err = np.abs(yp - yw).max() / (np.abs(yw).max() + 1e-9)
     check("pet_csr_spmv", err, 1e-5)
 
+    # 7b'. PET SpMM (blocked multi-RHS through the wide-lane kernel)
+    Xp8 = jnp.asarray(rng.standard_normal((npet, 8)), jnp.float32)
+    Yp8 = np.asarray(Ap @ Xp8)
+    Yw8 = sp_pet @ np.asarray(Xp8)
+    err = np.abs(Yp8 - Yw8).max() / (np.abs(Yw8).max() + 1e-9)
+    check("pet_csr_spmm_rhs8", err, 1e-5)
+
     # 7c. pipelined and block CG on the real chip (compiled)
     sol, info = krylov.cg_pipelined(
         A, b, tol=1e-3, maxiter=2000, backend="while_loop"
@@ -137,7 +146,7 @@ def main():
     if failures:
         print(json.dumps({"verdict": "FAIL", "failures": failures}))
         sys.exit(1)
-    print(json.dumps({"verdict": "PASS", "checks": 10,
+    print(json.dumps({"verdict": "PASS", "checks": n_checks[0],
                       "device": getattr(jax.devices()[0], "device_kind", "?")}))
 
 
