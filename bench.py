@@ -249,6 +249,74 @@ def main():
             cg_s = min(cg_s, time.perf_counter() - t0)
         extras["cg100_ms"] = round(cg_s * 1e3, 2)
 
+        # ---- solver time-to-tolerance on a 1M-row Poisson CSR through
+        # the PET kernel (BASELINE configs 1 and 4: GMRES on the
+        # nonsymmetric variant; Jacobi-preconditioned BiCGSTAB/QMR on the
+        # SPD one).  The Laplacian is shifted (+0.5 I) so f32
+        # time-to-tolerance is meaningful at bench runtime; the operator
+        # and preconditioner are jit ARGUMENTS (closure constants would
+        # overflow the remote-compile tunnel).
+        from krylov_tpu import DiagonalOperator, bicgstab, gmres, qmr
+        from krylov_tpu.ops.pallas_spmv import PETOperator
+
+        npg = 1024
+        Np = npg * npg
+        lap = scipy.sparse.diags(
+            [-1.0, -1.0, 4.5, -1.0, -1.0],
+            [-npg, -1, 0, 1, npg],
+            shape=(Np, Np), format="csr", dtype=np.float32,
+        )
+        b_p = jnp.asarray(rng.standard_normal(Np), jnp.float32)
+
+        def time_solve(tag, solver_fn, op, Mop, maxiter, **skw):
+            @partial(jax.jit, static_argnames=("mi",))
+            def run_solve(op, Mop, bv, mi=maxiter):
+                kw = dict(skw)
+                if Mop is not None:
+                    kw["Ml" if solver_fn in (bicgstab, qmr) else "M"] = Mop
+                _, info = solver_fn(
+                    op, bv, tol=1e-4, maxiter=mi,
+                    backend="while_loop", **kw,
+                )
+                return info.resnorms, jnp.asarray(info.numsteps)
+
+            buf, steps = run_solve(op, Mop, b_p)
+            float(jnp.sum(buf))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                buf, steps = run_solve(op, Mop, b_p)
+                float(jnp.sum(buf))
+                best = min(best, time.perf_counter() - t0)
+            k = int(steps)
+            bufh = np.asarray(buf)
+            converged = bool(bufh[k] <= 1e-4 * bufh[0] + 1e-15)
+            extras[f"{tag}_ms"] = round(best * 1e3, 2)
+            extras[f"{tag}_iters"] = k
+            extras[f"{tag}_converged"] = converged
+
+        Ap = PETOperator.from_scipy(lap, with_rmatvec=True)
+        Mj = DiagonalOperator(
+            jnp.asarray(1.0 / np.asarray(lap.diagonal(), np.float32))
+        )
+        time_solve("bicgstab", bicgstab, Ap, Mj, 400)
+        time_solve("qmr", qmr, Ap, Mj, 400)
+
+        # nonsymmetric: convection term breaks symmetry -> GMRES (MGS and
+        # compiled householder); full GMRES, modest maxiter (basis is
+        # (maxiter+1, N))
+        conv = scipy.sparse.diags(
+            [-0.4, 0.4], [-1, 1], shape=(Np, Np), format="csr",
+            dtype=np.float32,
+        )
+        Ag = PETOperator.from_scipy(
+            (lap + conv).tocsr(), with_rmatvec=False
+        )
+        time_solve("gmres", gmres, Ag, None, 120)
+        time_solve(
+            "gmres_householder", gmres, Ag, None, 120, ortho="householder"
+        )
+
     target = 0.8 * peak
     print(json.dumps({
         "metric": "spmv_poisson2d_hbm_bandwidth",

@@ -31,18 +31,34 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
 
     With no arguments, relies on the cluster environment (TPU pod metadata /
     ``JAX_COORDINATOR_ADDRESS`` etc.), matching ``jax.distributed``'s
-    auto-detection.  Safe to call in single-process runs: it becomes a no-op
-    if distribution is unavailable or already initialized.
+    auto-detection.
+
+    Failure semantics: when the caller passed EXPLICIT multi-process
+    parameters, initialization errors re-raise — a misconfigured pod must
+    fail loudly, not silently degrade to a single-process run.  Only the
+    zero-argument form (auto-detection) tolerates a single-process
+    environment, and "already initialized" is always a no-op.
     """
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process environment
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        if explicit:
+            raise
+    except ValueError:
+        if explicit:
+            raise
+        # zero-argument auto-detection in a single-process environment
 
 
 def global_mesh(n_rhs=1):

@@ -192,6 +192,11 @@ def sharded_solve(
     _params = inspect.signature(solver).parameters
     accepts_fused = "fused_inner" in _params
     accepts_block = "block_inner" in _params
+    # solvers without an SPD `M` slot (bicgstab/qmr) take the
+    # preconditioner as a LEFT preconditioner instead
+    prec_param = "M" if "M" in _params else ("Ml" if "Ml" in _params else None)
+    if prec_param is None and (M_diag is not None or M_factory is not None):
+        raise ValueError(f"{solver} accepts neither M nor Ml")
 
     def local_solve(b_l, x0_l, Md_l, *A_l):
         A_op = make_local(*A_l)
@@ -206,9 +211,9 @@ def sharded_solve(
         if M_diag is not None:
             from .._operators import DiagonalOperator
 
-            kw["M"] = DiagonalOperator(Md_l)
+            kw[prec_param] = DiagonalOperator(Md_l)
         elif M_factory is not None:
-            kw["M"] = M_factory(A_op)
+            kw[prec_param] = M_factory(A_op)
         xk, info = solver(
             A_op,
             b_l,
@@ -348,6 +353,7 @@ def _sharded_solve_grid(
 
         kw = dict(solver_kwargs)
         _gp = inspect.signature(solver).parameters
+        _pp = "M" if "M" in _gp else ("Ml" if "Ml" in _gp else None)
         if "fused_inner" in _gp and "fused_inner" not in kw:
             kw["fused_inner"] = psum_fused_inner(ROWS, vector_ndim=2)
         if "block_inner" in _gp and "block_inner" not in kw:
@@ -355,9 +361,9 @@ def _sharded_solve_grid(
         if M_diag is not None:
             from .._operators import DiagonalOperator
 
-            kw["M"] = DiagonalOperator(Md_l)
+            kw[_pp] = DiagonalOperator(Md_l)
         elif M_factory is not None:
-            kw["M"] = M_factory(A_op)
+            kw[_pp] = M_factory(A_op)
         xk, info = solver(
             A_op, b_l, inner=inner, x0=x0_l, tol=tol, atol=atol,
             maxiter=maxiter, backend="while_loop", **kw,

@@ -15,7 +15,14 @@ from .minres import minres
 from .pipelined import cg_pipelined
 from .qmr import qmr
 from .refine import refine
-from .stationary import gauss_seidel, jacobi, richardson, sor, ssor
+from .stationary import (
+    SSORSmoother,
+    gauss_seidel,
+    jacobi,
+    richardson,
+    sor,
+    ssor,
+)
 from .symmlq import symmlq
 
 __all__ = [
@@ -24,6 +31,7 @@ __all__ = [
     "richardson",
     "sor",
     "ssor",
+    "SSORSmoother",
     #
     "bicg",
     "bicgstab",

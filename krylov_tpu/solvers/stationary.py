@@ -303,3 +303,61 @@ def ssor(A, *args, omega: float = 1.0, **kwargs):
         return (2 - omega) / omega * y
 
     return _stationary(solve, A, *args, **kwargs)
+
+
+class SSORSmoother:
+    """One SSOR application as a preconditioner operator ``M r ~= P^{-1} r``.
+
+    ``P = omega/(2-omega) * (D/omega + L) D^{-1} (D/omega + U)`` — SPD for
+    SPD ``A``, so a valid CG/MINRES ``M`` and a left preconditioner for
+    the transpose-free two-sided family (BiCGSTAB/CGS).  Reuses the sweep
+    backends of :func:`ssor` (reference capability:
+    src/krylov/stationary.py:64-94 used as a solver; the smoother form is
+    the scalable preconditioner the reference leaves to the user):
+
+    * (possibly sharded) grid stencils -> scan sweeps; on a
+      row-partitioned shard the sweep is local, i.e. block-Jacobi
+      boundaries between shards — pair with
+      ``sharded_solve(..., M_factory=lambda A_l: SSORSmoother(A_l))``;
+    * large scipy/CSR matrices -> level-scheduled sweeps;
+    * small matrices -> dense triangular solves.
+
+    ``rmatvec`` assumes a Hermitian ``A`` (then ``P`` is Hermitian); QMR
+    with a non-Hermitian ``A`` should use a Jacobi/diagonal ``Ml``
+    instead.
+    """
+
+    def __init__(self, A, omega: float = 1.0):
+        self.omega = float(omega)
+        omega = self.omega
+        if _is_grid_stencil(A):
+            fwd = _grid_sweep_update(A, omega, True)
+            bwd = _grid_sweep_update(A, omega, False)
+            D = _diagonal(A)
+        else:
+            sp = _sparse_for_levels(A)
+            if sp is not None:
+                fwd = _level_solve(sp, True, diag_scale=omega)
+                bwd = _level_solve(sp, False, diag_scale=omega)
+                D = jnp.asarray(sp.diagonal())
+            else:
+                Ad = _dense_matrix(A)
+                d = jnp.diagonal(Ad)
+                idx = jnp.arange(Ad.shape[0])
+                A_ = Ad.at[idx, idx].set(d / omega)
+                fwd = lambda y: jsl.solve_triangular(A_, y, lower=True)
+                bwd = lambda y: jsl.solve_triangular(A_, y, lower=False)
+                D = d
+        self._fwd, self._bwd, self._D = fwd, bwd, D
+        self.dtype = np.dtype(getattr(D, "dtype", np.float64))
+
+    def __matmul__(self, r):
+        y = self._fwd(r)
+        y = y * _bcast(self._D, y)
+        y = self._bwd(y)
+        return (2 - self.omega) / self.omega * y
+
+    matvec = __matmul__
+
+    def rmatvec(self, r):
+        return self @ r
