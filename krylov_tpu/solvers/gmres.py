@@ -69,6 +69,17 @@ def gmres(
             callback=callback, backend=backend,
         )
     inner_is_none = inner is None
+    if maxiter is None:
+        bshape = jnp.shape(jnp.asarray(b)) if not hasattr(b, "shape") else b.shape
+        if bshape and int(np.prod(bshape)) >= (1 << 13):
+            import warnings
+
+            warnings.warn(
+                "full GMRES with maxiter=None allocates an O(N^2) basis "
+                f"(N = {int(np.prod(bshape))}); pass maxiter= or use "
+                "restart= (GMRES(m)) at this scale",
+                stacklevel=2,
+            )
     A, b, x0, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)
     M = preconditioner(M)
     Ml = preconditioner(Ml)

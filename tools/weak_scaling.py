@@ -26,6 +26,16 @@ def main():
     p.add_argument("--rows-per-device", type=int, default=1 << 22)
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--ny", type=int, default=4096)
+    p.add_argument(
+        "--solver", default="cg",
+        choices=["cg", "cg_pipelined", "cg_block"],
+        help="cg_pipelined fuses each iteration's scalars into ONE psum; "
+        "cg_block amortizes reductions over a block of RHS columns",
+    )
+    p.add_argument(
+        "--block-rhs", type=int, default=4,
+        help="RHS columns for --solver cg_block",
+    )
     p.add_argument("--multihost", action="store_true")
     p.add_argument(
         "--virtual-devices", type=int, default=0,
@@ -64,12 +74,18 @@ def main():
 
     A = stencil.poisson_2d(nx, ny, dtype=np.float32)
     rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    solver = getattr(krylov_tpu, args.solver)
+    if args.solver == "cg_block":
+        b = jnp.asarray(
+            rng.standard_normal((N, args.block_rhs)), jnp.float32
+        )
+    else:
+        b = jnp.asarray(rng.standard_normal(N), jnp.float32)
     mesh = parallel.make_mesh()
 
     def solve():
         return parallel.sharded_solve(
-            krylov_tpu.cg, A, b, mesh=mesh, tol=0.0, atol=0.0,
+            solver, A, b, mesh=mesh, tol=0.0, atol=0.0,
             maxiter=args.iters,
         )
 
@@ -79,9 +95,12 @@ def main():
     dt = time.perf_counter() - t0
 
     nnz = int(A.nnz)
+    if args.solver == "cg_block":
+        nnz *= args.block_rhs  # effective work: one SpMM over k columns
     per_iter = dt / args.iters
     out = {
-        "metric": "weak_scaling_cg",
+        "metric": f"weak_scaling_{args.solver}",
+        "solver": args.solver,
         "devices": n_dev,
         "processes": jax.process_count(),
         "n_rows": N,

@@ -1,28 +1,43 @@
-"""Weak-scaling curve on a VIRTUAL device mesh (committed evidence).
+"""Weak-scaling curves on a VIRTUAL device mesh + ICI/DCN prediction model.
 
 Real multi-host hardware is not available in this environment, so this
 driver produces the committable part of the BASELINE weak-scaling evidence:
 
-1. an empirical 1/2/4/8-device weak-scaling curve on the CPU virtual mesh
-   (``xla_force_host_platform_device_count``) -- this exercises the REAL
-   sharded code path (halo ppermutes + psum reductions inside the
-   shard_map'd while_loop), just not real ICI links;
-2. an analytic communication-volume model for the same solve on TPU
-   hardware, predicting multi-host efficiency against the >=75% target.
+1. empirical 1/2/4/8-device weak-scaling curves on the CPU virtual mesh
+   (``xla_force_host_platform_device_count``) for **standard CG** and the
+   **pipelined (single-psum) CG**, plus a block-CG point -- this exercises
+   the REAL sharded code path (halo ppermutes + psum reductions inside the
+   shard_map'd while_loop), just not real ICI links.  The virtual curve is
+   a CPU-contention proxy: its absolute efficiencies UNDERSTATE hardware
+   (all shards share one socket's memory bandwidth), but the *relative*
+   gap between solvers is real because it comes from the number of
+   synchronization points per iteration;
+2. an analytic communication model for the same solve on TPU hardware at
+   4/8/16 chips and at 2 hosts (DCN boundary), predicting efficiency
+   against the >=75% BASELINE target for both solvers.
 
 Usage::
 
     python tools/weak_scaling_virtual.py --out WEAKSCALE.json
 
-Per-iteration communication of the sharded 5-point-grid CG (see
-krylov_tpu/parallel/grid.py + solve.py):
+Model inputs (stated, since scalar-collective latency cannot be measured
+with the single chip available here):
 
-* halo exchange: 2 neighbor messages of ``h * ny`` words (h = stencil halo
-  width, 1 here) in each direction -> ``2 * ny * 4`` bytes per device pair,
-* reductions: 2 scalar ``psum`` allreduces (pAp and rho), latency-bound.
+* per-iteration compute streams ~7 words/row at HBM speed (measured
+  443 us at 4.2M rows/chip: bench.py ``stream_spmv_us`` scaled, v5e
+  819 GB/s);
+* a scalar ``psum`` over n chips on a 1-D ICI ring costs
+  ``base + 2*(n-1)*hop`` (ring allreduce, latency-bound; hop ~1 us on
+  ICI); crossing a DCN host boundary adds ``dcn_lat`` per crossing
+  (~25 us round trip);
+* the halo exchange (2*ny*4 bytes to each neighbor) is OVERLAPPED with
+  the zero-halo local kernel (parallel/grid.py), so it contributes only
+  its issue overhead until it exceeds the local compute time.
 
-Per-iteration compute per device streams ~7 words/row (5 coefficients +
-x + y) at HBM speed.  Model: eff = t_comp / (t_comp + t_halo + t_psum).
+Per iteration, standard CG needs 2 *dependent* scalar psums (pAp, then
+rho after the preconditioner apply); pipelined CG fuses all of an
+iteration's scalars into ONE psum at the cost of ~1.5x vector work; block
+CG amortizes one (k, k)-Gram psum over k RHS columns.
 """
 
 import argparse
@@ -34,7 +49,7 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_one(n_dev, rows_per_dev, iters, ny):
+def run_one(n_dev, rows_per_dev, iters, ny, solver):
     out = subprocess.run(
         [
             sys.executable,
@@ -43,6 +58,7 @@ def run_one(n_dev, rows_per_dev, iters, ny):
             "--iters", str(iters),
             "--ny", str(ny),
             "--virtual-devices", str(n_dev),
+            "--solver", solver,
         ],
         capture_output=True, text=True, check=True,
     )
@@ -50,47 +66,136 @@ def run_one(n_dev, rows_per_dev, iters, ny):
     return json.loads(line)
 
 
-def tpu_comm_model(rows_per_dev, ny, hbm_gbps=819.0, ici_gbps=45.0,
-                   dcn_gbps=25.0, psum_lat_ici_us=3.0, psum_lat_dcn_us=25.0):
-    """Predicted weak-scaling efficiency of one CG iteration on TPU."""
-    t_comp = 7 * rows_per_dev * 4 / (hbm_gbps * 1e9)
-    halo_bytes = 2 * ny * 4
-    model = {}
-    for name, bw, lat in (
-        ("ici", ici_gbps, psum_lat_ici_us),
-        ("dcn", dcn_gbps, psum_lat_dcn_us),
-    ):
-        t_halo = halo_bytes / (bw * 1e9) + lat * 1e-6  # 1 neighbor exchange
-        t_psum = 2 * lat * 1e-6                        # 2 scalar allreduces
-        model[name] = {
-            "t_comp_us": round(t_comp * 1e6, 2),
-            "t_halo_us": round(t_halo * 1e6, 2),
-            "t_psum_us": round(t_psum * 1e6, 2),
-            "predicted_efficiency": round(
-                t_comp / (t_comp + t_halo + t_psum), 4
-            ),
+def tpu_model(
+    rows_per_dev,
+    ny,
+    hbm_gbps=819.0,
+    ici_hop_us=1.0,
+    psum_base_us=2.0,
+    dcn_lat_us=25.0,
+    ici_gbps=45.0,
+    pipelined_compute_overhead=1.333,
+):
+    """Predict per-solver weak-scaling efficiency per chip count / hosts.
+
+    Weak-scaling efficiency of solver S = t_S(1 chip) / t_S(n chips) per
+    iteration at fixed rows/chip; each solver's own compute cost cancels,
+    so the metric is ``t_work / (t_work + t_sync)`` with ``t_work`` that
+    solver's per-iteration compute and ``t_sync`` its non-overlappable
+    synchronization.
+
+    * scalar ``psum`` = hierarchical allreduce: ring over the host's
+      chips (``base + 2*(c-1)*hop``) plus one DCN reduce+broadcast
+      (``2*dcn_lat``) when hosts > 1;
+    * standard CG: 2 *dependent* scalar psums per iteration (pAp, then
+      rho) — neither overlappable (each gates the next vector op);
+    * pipelined CG (Ghysels--Vanroose): ONE fused psum whose result is
+      not needed until after the next matvec, so the collective can
+      overlap with compute — reported as two bounds, no-overlap and
+      full-overlap (the implementation emits the psum with no data
+      dependence on the following matvec; XLA may schedule them
+      concurrently).  Compute overhead vs CG is ``pipelined_compute_
+      overhead`` (measured 1.24x on the virtual curve's 1-device points);
+    * block CG, k RHS: one (k, k)-Gram psum amortized over k columns of
+      work;
+    * the halo exchange is overlapped with the zero-halo kernel
+      (parallel/grid.py) and only its residual beyond compute counts.
+    """
+    halo_us = 2 * ny * 4 / (ici_gbps * 1e9) * 1e6
+
+    def psum_us(n_chips, n_hosts=1):
+        c = n_chips // n_hosts
+        t = psum_base_us + 2 * (c - 1) * ici_hop_us
+        if n_hosts > 1:
+            t += 2 * dcn_lat_us
+        return t
+
+    def scenario(t_comp):
+        halo_residual = max(0.0, halo_us - t_comp)
+
+        def entry(p):
+            tp = t_comp * pipelined_compute_overhead
+            k = 4
+            pipe_no_ov = tp / (tp + p + halo_residual)
+            pipe_full_ov = tp / (tp + max(0.0, p - t_comp) + halo_residual)
+            return {
+                "psum_us": round(p, 1),
+                "eff_cg": round(
+                    t_comp / (t_comp + 2 * p + halo_residual), 4
+                ),
+                "eff_cg_pipelined_no_overlap": round(pipe_no_ov, 4),
+                "eff_cg_pipelined_full_overlap": round(pipe_full_ov, 4),
+                "eff_cg_block_k4": round(
+                    t_comp / (t_comp + p / k + halo_residual), 4
+                ),
+            }
+
+        sc = {
+            "t_comp_us_per_iter": round(t_comp, 1),
+            "per_chips": {n: entry(psum_us(n)) for n in (4, 8, 16)},
         }
-    return model
+        e2 = entry(psum_us(16, n_hosts=2))
+        e2["meets_75pct_target"] = {
+            "cg": bool(e2["eff_cg"] >= 0.75),
+            "cg_pipelined_no_overlap":
+                bool(e2["eff_cg_pipelined_no_overlap"] >= 0.75),
+            "cg_pipelined_full_overlap":
+                bool(e2["eff_cg_pipelined_full_overlap"] >= 0.75),
+            "cg_block_k4": bool(e2["eff_cg_block_k4"] >= 0.75),
+        }
+        sc["two_hosts_16chips"] = e2
+        return sc
+
+    # two compute-time scenarios bracket reality:
+    # * "measured": full CG iteration measured on a real v5e at 4.2M
+    #   rows/chip (948 us/iter; pipelined 1264 us -> overhead 1.33x) —
+    #   what the shipped solver actually costs per iteration;
+    # * "streaming_floor": the 7-word HBM streaming bound for the matvec
+    #   alone — the best possible compute time, hence the WORST-case
+    #   efficiency (sync cost can never be better hidden than this).
+    t_floor = 7 * rows_per_dev * 4 / (hbm_gbps * 1e9) * 1e6
+    return {
+        "assumptions": {
+            "halo_us_overlapped": round(halo_us, 2),
+            "ici_hop_us": ici_hop_us,
+            "psum_base_us": psum_base_us,
+            "dcn_lat_us": dcn_lat_us,
+            "pipelined_compute_overhead": pipelined_compute_overhead,
+            "measured_cg_us_per_iter_v5e": 948.1,
+            "measured_pipelined_us_per_iter_v5e": 1264.1,
+        },
+        "measured": scenario(948.1),
+        "streaming_floor": scenario(t_floor),
+    }
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--rows-per-device", type=int, default=1 << 20)
-    p.add_argument("--iters", type=int, default=40)
-    p.add_argument("--ny", type=int, default=1024)
+    p.add_argument("--rows-per-device", type=int, default=1 << 18)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--ny", type=int, default=512)
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
-    curve = []
-    for n in args.devices:
-        r = run_one(n, args.rows_per_device, args.iters, args.ny)
-        curve.append(r)
-        print(json.dumps(r), flush=True)
+    curves = {}
+    for solver in ("cg", "cg_pipelined"):
+        curve = []
+        for n in args.devices:
+            r = run_one(n, args.rows_per_device, args.iters, args.ny, solver)
+            curve.append(r)
+            print(json.dumps(r), flush=True)
+        base = curve[0]["nnz_per_s_per_device"]
+        for r in curve:
+            r["efficiency_vs_1dev"] = round(
+                r["nnz_per_s_per_device"] / base, 4
+            )
+        curves[solver] = curve
 
-    base = curve[0]["nnz_per_s_per_device"]
-    for r in curve:
-        r["efficiency_vs_1dev"] = round(r["nnz_per_s_per_device"] / base, 4)
+    # single block-CG point at the largest device count (amortized psums)
+    nmax = args.devices[-1]
+    blk = run_one(nmax, args.rows_per_device, args.iters, args.ny, "cg_block")
+    print(json.dumps(blk), flush=True)
 
     result = {
         "metric": "weak_scaling_virtual_mesh",
@@ -98,15 +203,19 @@ def main():
         "rows_per_device": args.rows_per_device,
         "iters": args.iters,
         "ny": args.ny,
-        "curve": curve,
-        # model for the same per-device problem at TPU scale (BASELINE
-        # config: 4.2M rows/device)
+        "curve": curves["cg"],
+        "curve_pipelined": curves["cg_pipelined"],
+        "block_cg_point": blk,
+        # model for the BASELINE per-device problem (4.2M rows/device)
         "tpu_model_rows_per_device": 1 << 22,
-        "tpu_comm_model": tpu_comm_model(1 << 22, 4096),
+        "tpu_model": tpu_model(1 << 22, 4096),
         "note": (
-            "Virtual-mesh curve exercises the real shard_map/psum/ppermute "
-            "path without ICI hardware; the analytic model predicts "
-            "hardware efficiency vs the >=75% BASELINE target."
+            "Virtual-mesh curves exercise the real shard_map/psum/ppermute "
+            "path without ICI hardware (CPU-contention proxy: absolute "
+            "efficiencies understate hardware; the CG-vs-pipelined gap is "
+            "real, it counts synchronization points).  The tpu_model "
+            "section predicts ICI/DCN-backed efficiency at 4/8/16 chips "
+            "and at 2 hosts against the >=75% target."
         ),
     }
     text = json.dumps(result, indent=1)
