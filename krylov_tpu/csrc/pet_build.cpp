@@ -1,0 +1,305 @@
+// Native PET builder: CSR -> page-ELL-tile chunk arrays.
+//
+// Mirrors krylov_tpu/ops/pallas_spmv.py::build_pet bit-for-bit (same
+// stable orderings, same greedy scheduler), replacing the numpy passes
+// (two 28M-element stable sorts, occurrence ranks, the per-run Python
+// scheduling loop, and the scatter fills) with single-threaded C++ —
+// measured 3-4x end-to-end on the 28M-nnz benchmark matrix (50s -> 14s
+// on this host class; the residual is DRAM-bound scatters and the
+// Python-boundary copies, shared by both paths).
+//
+// The reference library has no native code at all (SURVEY.md §2.2); this
+// is a build-side runtime component of the TPU framework: operator
+// construction is the data-loading of a solver workload, and 40+ seconds
+// of host preprocessing per matrix is a real cost the kernel design
+// doesn't excuse.
+//
+// Compiled on demand by krylov_tpu/ops/_native.py with
+//   g++ -O3 -shared -fPIC pet_build.cpp -o _pet_build.so
+// and loaded via ctypes; the numpy path remains as fallback and ground
+// truth (tests assert bit-identical outputs).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int64_t WPAGES = 256;  // pages per DMA'd x window
+constexpr int64_t CWP = 32;      // pages per chunk-local sub-window
+constexpr int64_t GS = 32;       // subgroups per output group tile
+
+struct PetOut {
+  int64_t nchunks;
+  int64_t lc;
+  int64_t nnz;
+  double fill;
+  int8_t* ent;      // (nchunks*lc, 128)
+  float* dat;       // (nchunks*lc, 128)
+  int32_t* meta;    // (nchunks,)
+  int32_t* meta_v;  // (nchunks*8, 128)
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build PET arrays from canonical CSR (sorted, deduplicated) float32.
+// lc == 0 means auto-pick (512 if slot-rich else 256), matching python.
+// Returns nullptr on unsupported input (caller falls back to numpy).
+PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
+                  const int64_t* indices, const float* data, int64_t lc_in) {
+  if (nnz <= 0) return nullptr;
+
+  const int64_t nsg = (n + 127) / 128;
+  int64_t ngroups = (nsg + GS - 1) / GS;
+  if (ngroups < 1) ngroups = 1;
+  int64_t pages_tot = (m + 127) / 128;
+  if (pages_tot < 1) pages_tot = 1;
+  const int64_t nwin = (pages_tot + WPAGES - 1) / WPAGES;
+  const int64_t pages_pad = nwin * WPAGES;
+  if (ngroups > 0xFFFF || nwin > 0x7FFF) return nullptr;
+
+  // per-entry decomposition, in CSR storage order (row-major, sorted
+  // columns — the same order the numpy path uses)
+  std::vector<int64_t> e_page(nnz);
+  std::vector<int8_t> e_lcol(nnz);
+  std::vector<int32_t> e_lane(nnz);
+  std::vector<int64_t> e_sg(nnz);
+  {
+    int64_t e = 0;
+    for (int64_t r = 0; r < n; ++r) {
+      const int64_t sg = r >> 7;
+      const int32_t lane = static_cast<int32_t>(r & 127);
+      for (int64_t j = indptr[r]; j < indptr[r + 1]; ++j, ++e) {
+        const int64_t c = indices[j];
+        e_page[e] = c >> 7;
+        e_lcol[e] = static_cast<int8_t>(c & 127);
+        e_lane[e] = lane;
+        e_sg[e] = sg;
+      }
+    }
+  }
+
+  // occurrence rank k of each entry within its (sg, page, lane) cell:
+  // stable sort by cell key, then a linear run scan.  Canonical CSR has
+  // at most 128 entries of one row in one 128-wide page, so k < 128.
+  std::vector<int8_t> e_k(nnz);
+  {
+    // sort (key, index) pairs: contiguous 16-byte records beat an
+    // index-indirect comparator by a wide margin on this pass, and the
+    // index tie-break makes plain sort stable-equivalent
+    std::vector<std::pair<uint64_t, int64_t>> kv(nnz);
+    for (int64_t i = 0; i < nnz; ++i)
+      kv[i] = {(static_cast<uint64_t>(e_sg[i]) * pages_pad + e_page[i]) * 128 +
+                   e_lane[i],
+               i};
+    std::sort(kv.begin(), kv.end());
+    int64_t run_start = 0;
+    for (int64_t i = 0; i < nnz; ++i) {
+      if (i > 0 && kv[i].first != kv[i - 1].first) run_start = i;
+      e_k[kv[i].second] = static_cast<int8_t>(i - run_start);
+    }
+  }
+
+  // slot ordering: lexsort by (grp, page, k, sgr, lane) — 50-bit key
+  std::vector<int64_t> order2(nnz);
+  {
+    std::vector<std::pair<uint64_t, int64_t>> kv(nnz);
+    for (int64_t i = 0; i < nnz; ++i) {
+      const uint64_t grp = static_cast<uint64_t>(e_sg[i] / GS);
+      const uint64_t sgr = static_cast<uint64_t>(e_sg[i] % GS);
+      kv[i] = {((((grp << 15 | static_cast<uint64_t>(e_page[i])) << 7 |
+                  static_cast<uint64_t>(e_k[i]))
+                 << 5 |
+                 sgr)
+                << 7) |
+                   static_cast<uint64_t>(e_lane[i]),
+               i};
+    }
+    std::sort(kv.begin(), kv.end());
+    for (int64_t i = 0; i < nnz; ++i) order2[i] = kv[i].second;
+  }
+
+  // slots = runs of constant (grp, page, k, sgr) along order2
+  std::vector<int64_t> slot_of_entry(nnz);
+  std::vector<int64_t> slot_grp, slot_page;
+  std::vector<int32_t> slot_sgr;
+  {
+    int64_t cur = -1;
+    uint64_t prev_id = ~0ull;
+    for (int64_t i = 0; i < nnz; ++i) {
+      const int64_t e = order2[i];
+      const uint64_t grp = static_cast<uint64_t>(e_sg[e] / GS);
+      const uint64_t sgr = static_cast<uint64_t>(e_sg[e] % GS);
+      const uint64_t id = (((grp << 15 | static_cast<uint64_t>(e_page[e]))
+                            << 7 |
+                            static_cast<uint64_t>(e_k[e]))
+                           << 5) |
+                          sgr;
+      if (id != prev_id) {
+        ++cur;
+        prev_id = id;
+        slot_grp.push_back(static_cast<int64_t>(grp));
+        slot_page.push_back(e_page[e]);
+        slot_sgr.push_back(static_cast<int32_t>(sgr));
+      }
+      slot_of_entry[i] = cur;  // indexed along order2, like numpy
+    }
+  }
+  const int64_t n_slots = static_cast<int64_t>(slot_grp.size());
+
+  int64_t lc = lc_in;
+  if (lc == 0) lc = (n_slots >= 384 * ngroups) ? 512 : 256;
+
+  // greedy per-group schedule (ports _schedule_slots exactly)
+  std::vector<int64_t> chunk_of(n_slots), pos_of(n_slots), cbase_of(n_slots);
+  std::vector<int8_t> wid_of(n_slots);
+  std::vector<int64_t> chunks_grp, chunks_wblk, chunks_cb0, chunks_cb1;
+  {
+    int64_t lo = 0;
+    while (lo < n_slots) {
+      int64_t hi = lo;
+      const int64_t g = slot_grp[lo];
+      while (hi < n_slots && slot_grp[hi] == g) ++hi;
+      // greedy sub-window runs clipped inside aligned WPAGES blocks
+      struct Run {
+        int64_t i, j, base;
+      };
+      std::vector<Run> runs;
+      int64_t i = 0;
+      const int64_t cnt = hi - lo;
+      while (i < cnt) {
+        const int64_t p = slot_page[lo + i];
+        const int64_t blk = p / WPAGES;
+        int64_t base = std::min(p - p % 8, (blk + 1) * WPAGES - CWP);
+        base = std::max(base, blk * WPAGES);
+        // j = first slot with page >= base + CWP, capped at block end
+        int64_t j = i;
+        const int64_t page_cap = std::min(base + CWP, (blk + 1) * WPAGES);
+        while (j < cnt && slot_page[lo + j] < page_cap) ++j;
+        runs.push_back({i, j, base});
+        i = j;
+      }
+      // pack runs into chunks: <=lc slots, <=2 windows, one WPAGES block
+      int64_t cur_cnt = lc;  // force new chunk at first slot
+      std::vector<std::pair<int64_t, int64_t>> cur_wins;  // (base, wid)
+      for (const Run& run : runs) {
+        const int64_t blk = run.base / WPAGES;
+        int64_t k2 = run.i;
+        while (k2 < run.j) {
+          bool have_base = false;
+          bool all_same_blk = true;
+          for (auto& w : cur_wins) {
+            if (w.first == run.base) have_base = true;
+            if (w.first / WPAGES != blk) all_same_blk = false;
+          }
+          const bool win_ok =
+              have_base ||
+              (static_cast<int64_t>(cur_wins.size()) < 2 && all_same_blk);
+          if (cur_cnt >= lc || !win_ok) {
+            chunks_grp.push_back(g);
+            chunks_wblk.push_back(blk);
+            chunks_cb0.push_back(run.base);
+            chunks_cb1.push_back(run.base);
+            cur_wins.assign(1, {run.base, 0});
+            cur_cnt = 0;
+          } else if (!have_base) {
+            cur_wins.push_back(
+                {run.base, static_cast<int64_t>(cur_wins.size())});
+          }
+          int64_t wid = 0;
+          for (auto& w : cur_wins)
+            if (w.first == run.base) wid = w.second;
+          const int64_t take = std::min(lc - cur_cnt, run.j - k2);
+          const int64_t c = static_cast<int64_t>(chunks_grp.size()) - 1;
+          for (int64_t t = 0; t < take; ++t) {
+            chunk_of[lo + k2 + t] = c;
+            pos_of[lo + k2 + t] = cur_cnt + t;
+            wid_of[lo + k2 + t] = static_cast<int8_t>(wid);
+            cbase_of[lo + k2 + t] = run.base;
+          }
+          if (wid == 0)
+            chunks_cb0[c] = run.base;
+          else
+            chunks_cb1[c] = run.base;
+          cur_cnt += take;
+          k2 += take;
+        }
+      }
+      lo = hi;
+    }
+  }
+  const int64_t nchunks_data = static_cast<int64_t>(chunks_grp.size());
+
+  // groups with no entries still need one zero chunk
+  std::vector<uint8_t> have(ngroups, 0);
+  for (int64_t c = 0; c < nchunks_data; ++c) have[chunks_grp[c]] = 1;
+  std::vector<int64_t> extra_grps;
+  for (int64_t g = 0; g < ngroups; ++g)
+    if (!have[g]) extra_grps.push_back(g);
+  int64_t nchunks = nchunks_data + static_cast<int64_t>(extra_grps.size());
+  if (nchunks < 1) nchunks = 1;
+
+  PetOut* out = static_cast<PetOut*>(std::malloc(sizeof(PetOut)));
+  out->nchunks = nchunks;
+  out->lc = lc;
+  out->nnz = nnz;
+  out->fill = static_cast<double>(nnz) /
+              (static_cast<double>(nchunks) * lc * 128);
+  out->ent = static_cast<int8_t*>(std::calloc(nchunks * lc * 128, 1));
+  out->dat = static_cast<float*>(std::calloc(nchunks * lc * 128, 4));
+  out->meta = static_cast<int32_t*>(std::calloc(nchunks, 4));
+  out->meta_v = static_cast<int32_t*>(std::calloc(nchunks * 8 * 128, 4));
+  if (!out->ent || !out->dat || !out->meta || !out->meta_v) {
+    std::free(out->ent);
+    std::free(out->dat);
+    std::free(out->meta);
+    std::free(out->meta_v);
+    std::free(out);
+    return nullptr;
+  }
+
+  for (int64_t c = 0; c < nchunks_data; ++c) {
+    out->meta[c] = static_cast<int32_t>((chunks_wblk[c] << 16) | chunks_grp[c]);
+    int32_t* mv = out->meta_v + c * 8 * 128;
+    mv[0] = (c == 0 || chunks_grp[c] != chunks_grp[c - 1]) ? 1 : 0;
+    mv[1] = static_cast<int32_t>(chunks_cb0[c] - chunks_wblk[c] * WPAGES);
+    mv[2] = static_cast<int32_t>(chunks_cb1[c] - chunks_wblk[c] * WPAGES);
+  }
+  for (size_t i = 0; i < extra_grps.size(); ++i) {
+    const int64_t c = nchunks_data + static_cast<int64_t>(i);
+    out->meta[c] = static_cast<int32_t>(extra_grps[i]);
+    out->meta_v[c * 8 * 128] = 1;
+  }
+
+  // per-slot descriptor words + entry scatter
+  for (int64_t s = 0; s < n_slots; ++s) {
+    const int32_t prel = static_cast<int32_t>(slot_page[s] - cbase_of[s]);
+    const int32_t desc =
+        (slot_sgr[s] << 7) | (static_cast<int32_t>(wid_of[s]) << 6) | prel;
+    out->meta_v[chunk_of[s] * 8 * 128 + (1 + pos_of[s] / 128) * 128 +
+                (pos_of[s] % 128)] = desc;
+  }
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t e = order2[i];
+    const int64_t s = slot_of_entry[i];
+    const int64_t srow = chunk_of[s] * lc + pos_of[s];
+    out->ent[srow * 128 + e_lane[e]] = e_lcol[e];
+    out->dat[srow * 128 + e_lane[e]] = data[e];
+  }
+  return out;
+}
+
+void pet_free(PetOut* out) {
+  if (!out) return;
+  std::free(out->ent);
+  std::free(out->dat);
+  std::free(out->meta);
+  std::free(out->meta_v);
+  std::free(out);
+}
+
+}  // extern "C"

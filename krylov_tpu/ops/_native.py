@@ -1,0 +1,134 @@
+"""On-demand native (C++) helpers, with graceful numpy fallback.
+
+The reference is pure Python end-to-end (SURVEY.md §2.2: zero first-party
+native code); here the host-side runtime around the TPU kernels is native
+where it pays.  Currently: the PET builder
+(:func:`krylov_tpu.ops.pallas_spmv.build_pet`'s sort/schedule/scatter
+passes), ~10x the numpy path on large matrices.
+
+The shared object is compiled once per machine with ``g++ -O3`` into the
+user cache dir and loaded via ctypes (no build-system dependency, no
+pybind11).  Every native path has the numpy implementation as fallback
+and ground truth; set ``KRYLOV_TPU_NO_NATIVE=1`` to disable natives.
+"""
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
+_lib = None
+_tried = False
+
+
+def _cache_dir():
+    base = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    d = os.path.join(base, "krylov_tpu")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+class _PetOut(ctypes.Structure):
+    _fields_ = [
+        ("nchunks", ctypes.c_int64),
+        ("lc", ctypes.c_int64),
+        ("nnz", ctypes.c_int64),
+        ("fill", ctypes.c_double),
+        ("ent", ctypes.POINTER(ctypes.c_int8)),
+        ("dat", ctypes.POINTER(ctypes.c_float)),
+        ("meta", ctypes.POINTER(ctypes.c_int32)),
+        ("meta_v", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
+def _compile():
+    src = os.path.join(_CSRC, "pet_build.cpp")
+    with open(src, "rb") as f:
+        blob = f.read()
+    import hashlib
+
+    tag = hashlib.sha256(blob).hexdigest()[:16]
+    so = os.path.join(_cache_dir(), f"_pet_build_{tag}.so")
+    if not os.path.exists(so):
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, "pet_build.so")
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                 "-o", tmp],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, so)
+    return so
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("KRYLOV_TPU_NO_NATIVE"):
+        return None
+    try:
+        lib = ctypes.CDLL(_compile())
+        lib.pet_build.restype = ctypes.POINTER(_PetOut)
+        lib.pet_build.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.pet_free.restype = None
+        lib.pet_free.argtypes = [ctypes.POINTER(_PetOut)]
+        _lib = lib
+    except Exception as e:  # no compiler / sandboxed fs / bad cache
+        sys.stderr.write(f"krylov_tpu: native build unavailable ({e!r}); "
+                         "using the numpy PET builder\n")
+        _lib = None
+    return _lib
+
+
+def pet_build_native(csr, lc=None):
+    """Native twin of the numpy PET array construction.
+
+    ``csr``: canonical scipy CSR, float32.  Returns the dict of HOST
+    numpy arrays + geometry (same contents as the numpy path; callers
+    convert to device arrays), or None when the native path is
+    unavailable.
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    n, m = csr.shape
+    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(csr.indices, dtype=np.int64)
+    data = np.ascontiguousarray(csr.data, dtype=np.float32)
+    out_p = lib.pet_build(
+        n, m, int(csr.nnz),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        0 if lc is None else int(lc),
+    )
+    if not out_p:
+        return None
+    try:
+        o = out_p.contents
+        nchunks, lc_out = int(o.nchunks), int(o.lc)
+        ent = np.ctypeslib.as_array(o.ent, (nchunks * lc_out, 128)).copy()
+        dat = np.ctypeslib.as_array(o.dat, (nchunks * lc_out, 128)).copy()
+        meta = np.ctypeslib.as_array(o.meta, (nchunks,)).copy()
+        meta_v = np.ctypeslib.as_array(o.meta_v, (nchunks * 8, 128)).copy()
+        fill = float(o.fill)
+    finally:
+        lib.pet_free(out_p)
+    return {
+        "ent": ent, "dat": dat, "meta": meta, "meta_v": meta_v,
+        "nchunks": nchunks, "lc": lc_out, "fill": fill,
+    }

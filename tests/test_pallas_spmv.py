@@ -195,3 +195,47 @@ def test_pet_lazy_adjoint_and_complex_guard():
     assert not _operators._pet_eligible_matrix(spc_big)
     real_big = scipy.sparse.block_diag([sp] * 8).tocsr()
     assert _operators._pet_eligible_matrix(real_big)
+
+
+def test_native_pet_builder_matches_numpy_bitwise():
+    """The C++ PET builder (csrc/pet_build.cpp) must produce BIT-IDENTICAL
+    arrays to the numpy path — same stable orderings, same greedy
+    scheduler.  Skipped where no toolchain is available."""
+    import os
+
+    from krylov_tpu.ops import _native
+
+    for kind, seed in (("band", 0), ("rand", 1)):
+        rng = np.random.default_rng(seed)
+        n = 1 << 17
+        rr = np.repeat(np.arange(n), 4)
+        if kind == "band":
+            cc = np.clip(rr + rng.integers(-300, 300, 4 * n), 0, n - 1)
+        else:
+            cc = rng.integers(0, n, 4 * n)
+        sp = scipy.sparse.csr_matrix(
+            (rng.standard_normal(4 * n).astype(np.float32), (rr, cc)),
+            shape=(n, n),
+        )
+        sp.sum_duplicates()
+
+        host = _native.pet_build_native(sp)
+        if host is None:
+            pytest.skip("native builder unavailable (no compiler?)")
+
+        os.environ["KRYLOV_TPU_NO_NATIVE"] = "1"
+        _native._tried, _native._lib = False, None
+        try:
+            from krylov_tpu.ops.pallas_spmv import build_pet
+
+            ref = build_pet(sp)
+        finally:
+            del os.environ["KRYLOV_TPU_NO_NATIVE"]
+            _native._tried, _native._lib = False, None
+
+        assert host["nchunks"] == ref["nchunks"]
+        assert host["lc"] == ref["lc"]
+        assert host["fill"] == pytest.approx(ref["fill"], rel=1e-12)
+        for k in ("ent", "dat", "meta", "meta_v"):
+            np.testing.assert_array_equal(host[k], np.asarray(ref[k]),
+                                          err_msg=f"{kind}/{k}")
