@@ -321,6 +321,107 @@ def main():
         )
         bench_pet_rhs("spmm_csrpet_irregular_multirhs8_f32", sp_irr, X_irr)
 
+    # ---- BASELINE config 5 (single-chip compute side): Chebyshev +
+    # stationary smoothers on a 100M-row 3-D 7-point Laplacian.  The
+    # row-partitioned multi-host execution of the same solvers is
+    # exercised on the virtual mesh (test_parallel.py, WEAKSCALE.json);
+    # this measures the per-chip iteration cost at the config's scale.
+    if on_tpu:
+        import krylov_tpu
+
+        g5 = (512, 512, 384)  # 100.7M rows
+        N5 = g5[0] * g5[1] * g5[2]
+        A5c = stencil.poisson_3d_const(*g5, dtype=np.float32)
+        b5 = jnp.ones(A5c.grid, jnp.float32)
+        inner5 = lambda u, v: jnp.sum(u * v)  # noqa: E731
+
+        def time_iters(tag, make_run, iters, reps=2):
+            run = make_run(iters)
+            r = run()
+            float(jnp.sum(r))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                r = run()
+                float(jnp.sum(r))
+                best = min(best, time.perf_counter() - t0)
+            print(json.dumps({
+                "bench": tag, "n_rows": N5, "iters": iters,
+                "ms_per_iter": round(best / iters * 1e3, 3),
+                "rhs_rows_per_s": round(N5 * iters / best, 1),
+                "device": kind,
+            }))
+
+        def mk_cheb(iters):
+            @jax.jit
+            def run(b=b5):
+                _, info = krylov_tpu.chebyshev(
+                    A5c, b, inner=inner5,
+                    eigenvalue_estimates=(0.05, 12.05),
+                    tol=0.0, atol=0.0, maxiter=iters,
+                    backend="while_loop",
+                )
+                return info.resnorms
+            return lambda: run()
+
+        def mk_jacobi(iters):
+            @jax.jit
+            def run(b=b5):
+                _, info = krylov_tpu.jacobi(
+                    A5c, b, inner=inner5, tol=0.0, atol=0.0,
+                    maxiter=iters, backend="while_loop",
+                )
+                return info.resnorms
+            return lambda: run()
+
+        time_iters("chebyshev_3d_100m_f32", mk_cheb, 25)
+        time_iters("jacobi_3d_100m_f32", mk_jacobi, 25)
+
+        # Gauss-Seidel needs the variable-coefficient grid form (its
+        # triangular scan sweeps read per-row coefficients), passed as a
+        # jit argument (closure constants would overflow the
+        # remote-compile tunnel).  Measured at 16.8M rows: the 100M-row
+        # sweep program exceeds the remote AOT compile helper's limits,
+        # and the sweep's cost is dominated by the lax.scan over grid
+        # rows anyway (~linear in nx), so the 16.8M point plus the
+        # scaling law is the honest evidence.
+        g5g = (256, 256, 256)
+        A5v = stencil.poisson_3d(*g5g, dtype=np.float32)
+        offs5, ny5 = A5v.offsets, A5v.ny
+        N5g = g5g[0] * g5g[1] * g5g[2]
+        b5f = jnp.ones(N5g, jnp.float32)
+
+        def mk_gs(iters):
+            @jax.jit
+            def run(c2, b):
+                Aop = stencil.GridStencilOperator(
+                    c2, offs5, ny5, hermitian=True
+                )
+                _, info = krylov_tpu.gauss_seidel(
+                    Aop, b, tol=0.0, atol=0.0, maxiter=iters,
+                    backend="while_loop",
+                )
+                return info.resnorms
+            return lambda: run(A5v.coeffs2d, b5f)
+
+        def time_iters_n(tag, make_run, iters, n_rows, reps=2):
+            run = make_run(iters)
+            r = run()
+            float(jnp.sum(r))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                r = run()
+                float(jnp.sum(r))
+                best = min(best, time.perf_counter() - t0)
+            print(json.dumps({
+                "bench": tag, "n_rows": n_rows, "iters": iters,
+                "ms_per_iter": round(best / iters * 1e3, 3),
+                "device": kind,
+            }))
+
+        time_iters_n("gauss_seidel_3d_16m_f32", mk_gs, 4, N5g)
+
 
 if __name__ == "__main__":
     main()
