@@ -74,3 +74,20 @@ def test_restarted_multi_rhs_per_column_criterion():
     for j in range(B.shape[1]):
         rel = np.linalg.norm(R[:, j]) / np.linalg.norm(B[:, j])
         assert rel <= tol * 50, (j, rel)
+
+
+def test_restart_with_compiled_householder():
+    """GMRES(m) cycles compose with the compiled householder ortho."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 40
+    A = np.diag(np.arange(2.0, 2.0 + n)) + 0.4 * rng.standard_normal((n, n))
+    b = np.ones(n)
+    sol, info = krylov_tpu.gmres(
+        A, b, ortho="householder", restart=8, tol=1e-9, maxiter=200,
+        backend="while_loop",
+    )
+    assert info.success
+    r = b - A @ np.asarray(info.xk)
+    assert np.linalg.norm(r) <= 1e-8 * (1 + np.linalg.norm(b))
