@@ -56,14 +56,21 @@ def partition_pet(sp, n_shards, data_dtype=None):
     """Host-side partition of a scipy sparse matrix into per-shard PETs.
 
     Returns stacked device arrays (leading shard axis) + static geometry.
-    Row count must divide evenly into shards.
+    A row count that does not divide into the shards is zero-padded
+    (empty rows/columns; padded vector entries stay exactly zero, so
+    trajectories match the unpadded problem — same scheme as
+    :func:`~krylov_tpu.parallel.csr.partition_csr`);
+    ``sharded_solve`` pads the vectors and slices the solution back.
     """
     import scipy.sparse
 
     sp = scipy.sparse.csr_matrix(sp)
     n, m = sp.shape
-    if n % n_shards:
-        raise ValueError(f"{n} rows not divisible by {n_shards} shards")
+    pad = (-n) % n_shards
+    if pad:
+        sp = sp.copy()
+        sp.resize((n + pad, m + pad))
+        n, m = sp.shape
     n_local = n // n_shards
 
     # all shards must share one chunk size (the arrays are stacked); the

@@ -114,13 +114,15 @@ def sharded_solve(
     if maxiter is None:
         maxiter = N
     pad_rows = (-N) % n_rows
-    if pad_rows and not (isinstance(A, CSROperator) or hasattr(A, "tocsr")):
+    if pad_rows and not (
+        isinstance(A, (CSROperator, PETPartition)) or hasattr(A, "tocsr")
+    ):
         # zero-row padding is implemented for the general-sparsity CSR
-        # route (and the grid routes above); structured formats keep the
-        # divisibility requirement
+        # and PET routes (and the grid routes above); structured formats
+        # keep the divisibility requirement
         raise ValueError(
             f"N={N} not divisible by rows-axis size {n_rows} "
-            f"(auto-padding supports scipy/CSR and grid operators)"
+            f"(auto-padding supports scipy/CSR, PET and grid operators)"
         )
     if pad_rows:
         zpad = jnp.zeros((pad_rows,) + b.shape[1:], b.dtype)

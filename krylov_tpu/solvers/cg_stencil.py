@@ -43,10 +43,13 @@ def cg_stencil(
 ):
     """CG for :class:`ConstStencilOperator` on grid vectors.
 
-    ``fused=True`` opts into the two-pass fused Pallas iteration; measured
-    on v5e it does NOT yet beat XLA's own fusion of the default path (XLA
-    runs the vector phases at ~roofline already), so the default composes
-    the const-stencil SpMV kernel with XLA vector ops.
+    ``fused=True`` opts into the two-pass fused Pallas iteration.
+    Measured on v5e at 16.7M rows (K-delta, marginal per-iteration):
+    1137 us/iter = 1.06x of the 10N-word streaming model at the 625 GB/s
+    pipeline ceiling — i.e. at the fused path's roofline — vs ~1500 us
+    for the unfused composition of the SpMV kernel with XLA vector ops
+    (~15N words).  The default remains unfused for generality
+    (preconditioners, multi-RHS); ``bench.py`` uses ``fused=True``.
     """
     from ..ops import pallas_stencil
 

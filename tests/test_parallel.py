@@ -832,3 +832,24 @@ def test_sharded_cg_ssor_smoother_spd():
         krylov_tpu.cg, A, b, mesh=_mesh(), tol=1e-10, maxiter=400
     )
     assert info.numsteps < info_np.numsteps
+
+
+def test_sharded_pet_prime_n_pads_to_shards():
+    """Prime-sized N through the PET partition: partition_pet zero-pads
+    rows/columns to the shard multiple and sharded_solve pads the
+    vectors, so general sparsity needs no divisibility either."""
+    rng = np.random.default_rng(101)
+    n = 509
+    sp = scipy.sparse.diags(
+        [-1.0, 3.3, -1.0], [-1, 0, 1], shape=(n, n), format="csr"
+    ).astype(np.float32)
+    part = parallel.partition_pet(sp, 8)
+    assert part["shape"][0] % 8 == 0
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, part, b, mesh=_mesh(), tol=1e-4, maxiter=300
+    )
+    assert info.success
+    assert sol.shape == (n,)
+    r = np.asarray(b) - sp @ np.asarray(sol)
+    assert np.linalg.norm(r) <= 1e-3 * (1 + np.linalg.norm(np.asarray(b)))
