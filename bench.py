@@ -316,6 +316,9 @@ def main():
         time_solve(
             "gmres_householder", gmres, Ag, None, 120, ortho="householder"
         )
+        # batched classical Gram-Schmidt: one Gram contraction per sweep
+        # instead of k+1 dependent inner products
+        time_solve("gmres_cgs", gmres, Ag, None, 120, ortho="cgs")
 
     target = 0.8 * peak
     print(json.dumps({

@@ -22,7 +22,13 @@ from ._operators import (
     as_operator,
     jacobi_preconditioner,
 )
-from .arnoldi import ArnoldiHouseholder, ArnoldiLanczos, ArnoldiMGS, arnoldi_res
+from .arnoldi import (
+    ArnoldiCGS,
+    ArnoldiHouseholder,
+    ArnoldiLanczos,
+    ArnoldiMGS,
+    arnoldi_res,
+)
 from .errors import ArgumentError
 from .givens import givens
 from .householder import Householder
@@ -37,6 +43,7 @@ __all__ = [
     "ops",
     "diffable",
     "ArnoldiHouseholder",
+    "ArnoldiCGS",
     "ArnoldiMGS",
     "ArnoldiLanczos",
     "arnoldi_res",

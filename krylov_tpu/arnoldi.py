@@ -73,6 +73,26 @@ def mgs_sweep(inner, V, P, w, coeffs):
     return w, coeffs
 
 
+def cgs_sweep(inner, V, P, w, coeffs):
+    """One classical-Gram-Schmidt pass of ``w`` against the bases.
+
+    All projection coefficients are measured against the SAME incoming
+    ``w`` (unlike :func:`mgs_sweep`, which updates ``w`` between
+    projections), so the whole sweep is two batched contractions: one
+    basis-sized inner product and one basis combination.  On TPU meshes
+    this is the reduction-batching orthogonalization: the compiled GMRES
+    path evaluates it as a single Gram matvec — ONE ``psum`` per sweep
+    when sharded, against MGS's k+1 sequential allreduces.  A single pass
+    is less stable than MGS; two passes (CGS2, "twice is enough" —
+    Giraud/Langou/Rozložník 2005) restores MGS-level orthogonality.
+    """
+    cs = [inner(vj, w) for vj in V]
+    for j, c in enumerate(cs):
+        coeffs = coeffs.at[j].add(c)
+    w = w - sum(c * pj for c, pj in zip(cs, P))
+    return w, coeffs
+
+
 def lanczos_step(A, M, inner, v, p, p_old, beta_prev):
     """One three-term Lanczos recurrence step.
 
@@ -229,6 +249,54 @@ class ArnoldiMGS(_Process):
         hcol = jnp.zeros((k + 2,) + self.tail, dtype=self.dtype)
         for _ in range(self.num_reorthos):
             w, hcol = mgs_sweep(self.inner, self.V, self.P, w, hcol)
+
+        Mw = self.M @ w
+        subdiag = jnp.sqrt(self.inner(w, Mw))
+        hcol = hcol.at[k + 1].set(subdiag)
+
+        if self._flag_breakdown(subdiag):
+            return None, hcol
+        p_new, v_new, _ = normalize_dual(
+            self.inner, self.M, w, v=Mw, norm=subdiag
+        )
+        self.P.append(p_new)
+        self.V.append(v_new)
+        return v_new, hcol
+
+
+class ArnoldiCGS(_Process):
+    """Arnoldi via (re-orthogonalized) classical Gram-Schmidt.
+
+    A build-side extension beyond the reference (which offers mgs/mgsN/
+    householder, reference src/krylov/arnoldi.py:107-200): every sweep is
+    two batched contractions instead of k+1 dependent inner products, so
+    the distributed GMRES pays one allreduce per sweep.  ``num_passes=2``
+    (CGS2) is the recommended stable setting.
+    """
+
+    def __init__(self, A, v, num_passes=2, M=None, Mv=None, Mv_norm=None,
+                 inner=None):
+        super().__init__()
+        self.A = A
+        self.M = Identity() if M is None else as_operator(M)
+        self.inner = get_default_inner(v.shape) if inner is None else inner
+        self.num_passes = num_passes
+        v = jnp.asarray(v)
+        self.dtype = self._result_dtype(A, self.M, v)
+        self.tail = tuple(jnp.shape(self.inner(v, v)))
+
+        p0, v0, self.vnorm = normalize_dual(
+            self.inner, self.M, v, v=Mv, norm=Mv_norm
+        )
+        self.P = [p0]
+        self.V = [v0]
+
+    def _advance(self):
+        k = self.iter
+        w = jnp.asarray(self.A @ self.V[k])
+        hcol = jnp.zeros((k + 2,) + self.tail, dtype=self.dtype)
+        for _ in range(self.num_passes):
+            w, hcol = cgs_sweep(self.inner, self.V, self.P, w, hcol)
 
         Mw = self.M @ w
         subdiag = jnp.sqrt(self.inner(w, Mw))

@@ -94,6 +94,25 @@ def psum_fused_inner(axis=ROWS, vector_ndim=1):
     return fused
 
 
+def psum_batch_inner(axis=ROWS, vector_ndim=1):
+    """Mesh-aware batched basis-against-vector inner: ONE psum per sweep.
+
+    The ``batch_inner`` injection point of GMRES's classical-Gram-Schmidt
+    orthogonalization (``ortho="cgs"``): contracts the whole stacked
+    ``(K+1, n_local, *tail)`` basis buffer against one local vector and
+    allreduces the ``(K+1, *tail)`` coefficient block in a single
+    collective — where the MGS sweep pays k+1 dependent ``psum`` s.
+    ``vector_ndim=2`` contracts grid-shaped vectors.  Must be called
+    inside ``shard_map``.
+    """
+    eq = "kmn...,mn...->k..." if vector_ndim == 2 else "kn...,n...->k..."
+
+    def batch(Vb, w):
+        return lax.psum(jnp.einsum(eq, jnp.conj(Vb), w), axis)
+
+    return batch
+
+
 def psum_block_inner(axis=ROWS):
     """Mesh-aware (k, k) block inner product: one psum per contraction."""
 

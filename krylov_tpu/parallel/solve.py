@@ -30,7 +30,8 @@ from .pet import PETPartition, ShardedPETOperator
 from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import (
-    ROWS, RHS, make_mesh, psum_block_inner, psum_fused_inner, psum_inner,
+    ROWS, RHS, make_mesh, psum_batch_inner, psum_block_inner,
+    psum_fused_inner, psum_inner,
 )
 
 
@@ -194,6 +195,7 @@ def sharded_solve(
     _params = inspect.signature(solver).parameters
     accepts_fused = "fused_inner" in _params
     accepts_block = "block_inner" in _params
+    accepts_batch = "batch_inner" in _params
     # solvers without an SPD `M` slot (bicgstab/qmr) take the
     # preconditioner as a LEFT preconditioner instead
     prec_param = "M" if "M" in _params else ("Ml" if "Ml" in _params else None)
@@ -210,6 +212,9 @@ def sharded_solve(
         if accepts_block and "block_inner" not in kw:
             # block solvers: (k, k) Gram contractions, one psum each
             kw["block_inner"] = psum_block_inner(ROWS)
+        if accepts_batch and "batch_inner" not in kw:
+            # CGS orthogonalization: whole sweep in one psum
+            kw["batch_inner"] = psum_batch_inner(ROWS)
         if M_diag is not None:
             from .._operators import DiagonalOperator
 
@@ -360,6 +365,8 @@ def _sharded_solve_grid(
             kw["fused_inner"] = psum_fused_inner(ROWS, vector_ndim=2)
         if "block_inner" in _gp and "block_inner" not in kw:
             kw["block_inner"] = psum_block_inner(ROWS)
+        if "batch_inner" in _gp and "batch_inner" not in kw:
+            kw["batch_inner"] = psum_batch_inner(ROWS, vector_ndim=2)
         if M_diag is not None:
             from .._operators import DiagonalOperator
 

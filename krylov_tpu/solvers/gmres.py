@@ -8,6 +8,15 @@ callback, num_operations model.  The stray debug prints in the reference hot
 loop (reference: src/krylov/gmres.py:201-205, a v0.0.3 bug) are of course not
 replicated.
 
+Build-side extension beyond the reference's ortho set: ``ortho="cgs"``
+(alias "cgs2"; "cgs<N>" for N passes) — re-orthogonalized classical
+Gram-Schmidt, where each sweep is ONE batched Gram contraction + ONE basis
+combination instead of k+1 dependent inner products.  Under
+``sharded_solve`` the sweep's coefficients travel in a single ``psum``
+(the ``batch_inner`` injection point), cutting GMRES's per-iteration
+allreduce count from O(k) to O(1); two passes (CGS2) keep MGS-level
+orthogonality (Giraud/Langou/Rozložník 2005).
+
 Two drivers over the same mathematics:
 
 * eager — host loop over the Arnoldi iterator classes (supports every ortho
@@ -29,7 +38,7 @@ from .._driver import EAGER, WHILE_LOOP, Method, run
 from .._info import Info
 from .._inner import ensure_real
 from .._operators import Identity, Product
-from ..arnoldi import ArnoldiHouseholder, ArnoldiMGS, padded_reflector_at
+from ..arnoldi import ArnoldiCGS, ArnoldiHouseholder, ArnoldiMGS, padded_reflector_at
 from ..givens import apply_givens, givens
 from ..ops.triangular import multi_solve_triangular
 from ._common import preconditioner, setup
@@ -61,12 +70,13 @@ def gmres(
     restart: Optional[int] = None,
     callback: Optional[Callable] = None,
     backend: str = EAGER,
+    batch_inner: Optional[Callable] = None,
 ):
     if restart is not None:
         return _gmres_restarted(
             A, b, M=M, Ml=Ml, Mr=Mr, inner=inner, ortho=ortho, x0=x0,
             tol=tol, atol=atol, maxiter=maxiter, restart=restart,
-            callback=callback, backend=backend,
+            callback=callback, backend=backend, batch_inner=batch_inner,
         )
     inner_is_none = inner is None
     if maxiter is None:
@@ -113,6 +123,13 @@ def gmres(
             if not isinstance(M, Identity):
                 raise ValueError("ortho='householder' does not support M")
             return _gmres_while_householder(**common)
+        if ortho.startswith("cgs"):
+            num_passes = 2 if len(ortho) == 3 else int(ortho[3:])
+            return _gmres_while(
+                num_reorthos=num_passes, cgs=True,
+                batch_inner=_make_batch_inner(batch_inner, inner, inner_is_none),
+                **common,
+            )
         if not ortho.startswith("mgs"):
             raise ValueError(f"unknown orthogonalization {ortho!r}")
         num_reorthos = 1 if len(ortho) == 3 else int(ortho[3:])
@@ -121,9 +138,26 @@ def gmres(
     return _gmres_eager(ortho=ortho, inner_is_none=inner_is_none, **common)
 
 
+def _make_batch_inner(batch_inner, inner, inner_is_none):
+    """Batched basis-against-vector inner product for CGS sweeps.
+
+    ``batch(Vbuf, w)`` contracts a stacked ``(K+1, N, *tail)`` basis
+    buffer against one vector in a single operation — the injection point
+    ``sharded_solve`` replaces with a one-``psum`` mesh reduction
+    (parallel/mesh.py:psum_batch_inner).  Default: one einsum for the
+    Euclidean inner; a vmap of the user inner otherwise (semantics
+    preserved, batching win limited to dispatch).
+    """
+    if batch_inner is not None:
+        return batch_inner
+    if inner_is_none:
+        return lambda Vb, w: jnp.einsum("kn...,n...->k...", jnp.conj(Vb), w)
+    return lambda Vb, w: jax.vmap(lambda v: inner(v, w))(Vb)
+
+
 def _gmres_restarted(
     A, b, *, M, Ml, Mr, inner, ortho, x0, tol, atol, maxiter, restart,
-    callback, backend,
+    callback, backend, batch_inner=None,
 ):
     """GMRES(m): restart every ``restart`` iterations.
 
@@ -152,6 +186,7 @@ def _gmres_restarted(
         kw = dict(
             M=M, Ml=Ml, Mr=Mr, inner=inner, ortho=ortho, x0=x,
             maxiter=cycle_max, callback=callback, backend=backend,
+            batch_inner=batch_inner,
         )
         if criterion is None:
             sol, info = gmres(A, b, tol=tol, atol=atol, **kw)
@@ -190,6 +225,12 @@ def _gmres_eager(
         num_reorthos = 1 if len(ortho) == 3 else int(ortho[3:])
         arnoldi = ArnoldiMGS(
             Ml_A_Mr, Ml_r0, num_reorthos=num_reorthos, M=M,
+            Mv=M_Ml_r0, Mv_norm=norm0, inner=inner,
+        )
+    elif ortho.startswith("cgs"):
+        num_passes = 2 if len(ortho) == 3 else int(ortho[3:])
+        arnoldi = ArnoldiCGS(
+            Ml_A_Mr, Ml_r0, num_passes=num_passes, M=M,
             Mv=M_Ml_r0, Mv_norm=norm0, inner=inner,
         )
     elif ortho == "householder":
@@ -291,11 +332,13 @@ class _WhileState(NamedTuple):
 
 def _gmres_while(
     *, A, b, x0, M, Ml, Mr, Ml_A_Mr, inner, residual_norm, Ml_r0, M_Ml_r0,
-    norm0, tol, atol, maxiter, callback, num_reorthos,
+    norm0, tol, atol, maxiter, callback, num_reorthos, cgs=False,
+    batch_inner=None,
 ):
     K = maxiter
     tail = jnp.shape(norm0)
     dtype = M_Ml_r0.dtype
+    idxK1 = jnp.arange(K + 1).reshape((K + 1,) + (1,) * len(tail))
 
     safe0 = jnp.where(norm0 != 0.0, norm0, 1.0)
     V0 = jnp.zeros((K + 1,) + b.shape, dtype).at[0].set(M_Ml_r0 / safe0)
@@ -315,15 +358,28 @@ def _gmres_while(
 
         h = jnp.zeros((K + 1,) + tail, dtype)
 
-        def mgs_body(j, carry):
-            Av, h = carry
-            alpha = inner(s.V[j], Av)
-            h = h.at[j].add(alpha)
-            Av = Av - alpha * s.P[j]
-            return Av, h
+        if cgs:
+            # classical Gram-Schmidt: the whole sweep is ONE batched Gram
+            # contraction + ONE basis combination (rows beyond k of the
+            # V/P buffers are zero, so the contraction is self-masking;
+            # the explicit mask keeps the invariant under future buffer
+            # reuse).  One psum per sweep when sharded.
+            active = (idxK1 <= k).astype(dtype)
+            for _ in range(num_reorthos):
+                alphas = batch_inner(s.V, Av) * active
+                h = h + alphas
+                Av = Av - jnp.einsum("k...,kn...->n...", alphas, s.P)
+        else:
 
-        for _ in range(num_reorthos):
-            Av, h = lax.fori_loop(0, k + 1, mgs_body, (Av, h))
+            def mgs_body(j, carry):
+                Av, h = carry
+                alpha = inner(s.V[j], Av)
+                h = h.at[j].add(alpha)
+                Av = Av - alpha * s.P[j]
+                return Av, h
+
+            for _ in range(num_reorthos):
+                Av, h = lax.fori_loop(0, k + 1, mgs_body, (Av, h))
 
         MAv = M @ Av
         hk1 = jnp.sqrt(inner(Av, MAv))

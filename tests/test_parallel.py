@@ -141,6 +141,53 @@ def test_sharded_solve_gmres_banded():
     assert np.linalg.norm(r) <= 1e-10 * (1 + np.linalg.norm(np.asarray(b)))
 
 
+def test_sharded_gmres_cgs_single_psum_ortho():
+    """ortho='cgs': whole CGS sweep travels in one psum (batch_inner
+    injection); trajectory matches the single-device compiled solve."""
+    n = 512
+    main = 2.0 + np.arange(n) / n
+    A = scipy.sparse.diags(
+        [-0.5 * np.ones(n - 1), main, -0.6 * np.ones(n - 1)],
+        [-1, 0, 1], format="csr",
+    )
+    b = np.sin(np.arange(n) * 0.1)
+
+    sol_ref, info_ref = krylov_tpu.gmres(
+        A.toarray(), b, ortho="cgs", tol=1e-10, maxiter=60,
+        backend="while_loop",
+    )
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.gmres, A, b, mesh=_mesh(), ortho="cgs", tol=1e-10,
+        maxiter=60,
+    )
+    assert info.success
+    assert info.numsteps == info_ref.numsteps
+    np.testing.assert_allclose(
+        np.asarray(sol), np.asarray(sol_ref), atol=1e-12
+    )
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-10, atol=1e-13
+    )
+
+
+def test_sharded_gmres_cgs_grid_path():
+    A = stencil.poisson_2d(16, 16)
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(256))
+    dense = np.asarray(A @ np.eye(256))
+    sol_ref, _ = krylov_tpu.gmres(
+        dense, np.asarray(b), ortho="cgs", tol=1e-10, maxiter=80,
+        backend="while_loop",
+    )
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.gmres, A, b, mesh=_mesh(), ortho="cgs", tol=1e-10,
+        maxiter=80,
+    )
+    assert info.success
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-9)
+
+
 def test_sharded_solve_csr_halo_mode():
     sp = scipy.sparse.diags(
         [-1.0, 2.5, -1.0], [-1, 0, 1], shape=(64, 64), format="csr"

@@ -63,6 +63,14 @@ def main():
     )
     check("gmres_restarted", relres(A, info.xk, b), 5e-3)
 
+    # 3b. GMRES(m) with batched-CGS orthogonalization (one Gram
+    # contraction per sweep)
+    sol, info = krylov.gmres(
+        A, b, restart=60, ortho="cgs", tol=1e-3, maxiter=400,
+        backend="while_loop",
+    )
+    check("gmres_restarted_cgs", relres(A, info.xk, b), 5e-3)
+
     # 4. MINRES compiled
     sol, info = krylov.minres(A, b, tol=1e-3, maxiter=1500,
                               backend="while_loop")
