@@ -209,6 +209,46 @@ def main():
         extras["csr_pet_fill"] = round(pet["fill"], 4)
         extras["csr_pet_stream_gbps"] = round(slot_bytes / dtp / 1e9, 2)
 
+        # multi-RHS (SpMM) through the same PET: the index/metadata stream
+        # is amortized over k=8 columns (column-in-lane-major x layout, one
+        # wide MXU contraction shared by all columns)
+        from krylov_tpu.ops.pallas_spmv import _pet_matmat_padded
+
+        K_RHS = 8
+        Xw = jnp.asarray(
+            rng.standard_normal((pet["pages_pad"], K_RHS * 128)), jnp.float32
+        )
+
+        @partial(jax.jit, static_argnums=5)
+        def chain_pet_spmm(ent, dat, meta, meta_v, xw, K):
+            def body(i, u):
+                y = _pet_matmat_padded(
+                    ent, dat, meta, meta_v, u, k=K_RHS,
+                    nchunks=pet["nchunks"], ngroups=pet["ngroups"],
+                    pages_pad=pet["pages_pad"], lc=pet["lc"],
+                    interpret=False,
+                )
+                rows = u.shape[0]
+                y = (
+                    y[:rows]
+                    if y.shape[0] >= rows
+                    else jnp.pad(y, ((0, rows - y.shape[0]), (0, 0)))
+                )
+                return y * 1e-4 + u * 0.5
+
+            return lax.fori_loop(0, K, body, xw)
+
+        dts = timed(
+            chain_pet_spmm,
+            (pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], Xw),
+            2, 18, 3,
+        )
+        extras["csr_pet_spmm_k8_us"] = round(dts * 1e6, 2)
+        extras["csr_pet_spmm_rhs_nnz_per_s"] = round(pet_nnz * K_RHS / dts, 1)
+        # vs running the measured single-RHS kernel k times (the per-column
+        # fallback the SpMM kernel replaces)
+        extras["csr_pet_spmm_amortization"] = round(K_RHS * dtp / dts, 2)
+
         # XLA baseline on the same matrix (gather + segment_sum)
         from krylov_tpu.ops.sparse import CSROperator
 
