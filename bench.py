@@ -53,8 +53,46 @@ def _peak_gbps(kind: str) -> float:
     return 819.0  # conservative fallback
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """True if jax can initialize its default backend within ``timeout_s``.
+
+    Probed in a subprocess because an unreachable remote-TPU (axon) tunnel
+    makes ``jax.devices()`` block for ~25 minutes before raising; the bench
+    must degrade to CPU in bounded time instead of stalling the round.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return False  # explicitly pinned to CPU; skip straight to it
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    if not _probe_backend():
+        # remote-TPU tunnel unavailable: still produce a JSON line on the
+        # host CPU rather than failing the whole bench run.  Must go
+        # through jax.config (the environment's sitecustomize force-sets
+        # jax_platforms at startup, which overrides JAX_PLATFORMS).
+        jax.config.update("jax_platforms", "cpu")
+
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        dev = jax.devices()[0]
+
     import jax.numpy as jnp
     from jax import lax
 
@@ -65,7 +103,6 @@ def main():
     )
     from krylov_tpu.solvers.cg_stencil import cg_stencil
 
-    dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "cpu")
     on_tpu = dev.platform == "tpu"
     peak = _peak_gbps(kind) if on_tpu else 50.0  # rough CPU fallback

@@ -250,14 +250,16 @@ _ROUTE_CACHE = {}
 
 
 def _sparse_fingerprint(A):
-    """Cheap content fingerprint of a scipy sparse matrix.
+    """Content fingerprint of a scipy sparse matrix.
 
-    Samples O(64) values from the data/index buffers plus nnz and shape;
-    any in-place value edit (the common mutation pattern) or structural
-    change flips it.  Not cryptographic — it only needs to catch honest
-    re-use of a mutated matrix, at negligible cost next to the O(nnz)
-    conversion it guards.
+    CRC of the FULL data/index buffers plus nnz and shape — every in-place
+    edit (``A.data[i] = v``, ``A[i, j] = v`` on an existing entry, index
+    rewrites) flips it.  zlib's C-speed CRC makes this ~GB/s, well under
+    1% of the O(nnz) conversion it guards even on the largest matrices;
+    sampling was tried first and silently missed single-element edits.
     """
+    import zlib
+
     parts = [A.shape, getattr(A, "nnz", None)]
     for name in ("data", "indices", "indptr", "row", "col", "offsets"):
         buf = getattr(A, name, None)
@@ -266,22 +268,35 @@ def _sparse_fingerprint(A):
         arr = np.asarray(buf)
         if arr.dtype == object:  # lil/dok store ragged object arrays
             continue
-        step = max(1, arr.size // 64)
-        parts.append((name, arr[::step].tobytes(), arr[-1].tobytes()))
+        arr = np.ascontiguousarray(arr)
+        crc = zlib.crc32(memoryview(arr).cast("B"))
+        parts.append((name, arr.dtype.str, crc))
     return hash(tuple(parts))
 
 
 def _route_cached(A, build):
-    """Return ``build(A)`` memoized on ``(id(A), fingerprint(A))``."""
+    """Return ``build(A)`` memoized on ``(id(A), fingerprint(A))``.
+
+    Entries self-evict when the scipy matrix is garbage collected (the
+    weakref callback below) — a loop building a fresh matrix per time step
+    must not accumulate dead entries each strongly holding O(nnz) device
+    buffers.
+    """
     import weakref
 
     fp = _sparse_fingerprint(A)
-    hit = _ROUTE_CACHE.get(id(A))
+    key = id(A)
+    hit = _ROUTE_CACHE.get(key)
     if hit is not None and hit[0]() is A and hit[1] == fp:
         return hit[2]
     op = build(A)
     try:
-        _ROUTE_CACHE[id(A)] = (weakref.ref(A), fp, op)
+        def _evict(ref, _key=key):
+            ent = _ROUTE_CACHE.get(_key)
+            if ent is not None and ent[0] is ref:
+                del _ROUTE_CACHE[_key]
+
+        _ROUTE_CACHE[key] = (weakref.ref(A, _evict), fp, op)
     except TypeError:
         pass
     return op

@@ -104,14 +104,16 @@ PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
     }
   }
 
-  // slot ordering: lexsort by (grp, page, k, sgr, lane) — 50-bit key
+  // slot ordering: lexsort by (grp, page, k, sgr, lane) — 58-bit key.
+  // page gets 23 bits: nwin <= 0x7FFF windows of WPAGES=256 pages each,
+  // so page < 2^23 (15 bits would silently collide above 2^22 columns).
   std::vector<int64_t> order2(nnz);
   {
     std::vector<std::pair<uint64_t, int64_t>> kv(nnz);
     for (int64_t i = 0; i < nnz; ++i) {
       const uint64_t grp = static_cast<uint64_t>(e_sg[i] / GS);
       const uint64_t sgr = static_cast<uint64_t>(e_sg[i] % GS);
-      kv[i] = {((((grp << 15 | static_cast<uint64_t>(e_page[i])) << 7 |
+      kv[i] = {((((grp << 23 | static_cast<uint64_t>(e_page[i])) << 7 |
                   static_cast<uint64_t>(e_k[i]))
                  << 5 |
                  sgr)
@@ -134,7 +136,7 @@ PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
       const int64_t e = order2[i];
       const uint64_t grp = static_cast<uint64_t>(e_sg[e] / GS);
       const uint64_t sgr = static_cast<uint64_t>(e_sg[e] % GS);
-      const uint64_t id = (((grp << 15 | static_cast<uint64_t>(e_page[e]))
+      const uint64_t id = (((grp << 23 | static_cast<uint64_t>(e_page[e]))
                             << 7 |
                             static_cast<uint64_t>(e_k[e]))
                            << 5) |

@@ -665,17 +665,28 @@ class PETOperator:
 
     matvec = __matmul__
 
-    def rmatvec(self, x):
+    def ensure_adjoint(self):
+        """Materialize the adjoint PET now (host-side, once).
+
+        Two-sided solvers call this before tracing: after a pytree
+        boundary (jit argument) the host scipy handle is gone and a lazy
+        adjoint can no longer be built.
+        """
         if self._pet_t is None and self._sp is not None:
-            # lazy adjoint: built once, on first use
             self._pet_t = build_pet(
                 self._sp.T.conj().tocsr(), data_dtype=self._data_dtype
             )
+        return self
+
+    def rmatvec(self, x):
+        self.ensure_adjoint()
         if self._pet_t is None:
             raise ValueError(
-                "PETOperator built without an adjoint; construct with "
-                "PETOperator.from_scipy(A) (with_rmatvec=True) for "
-                "rmatvec-based solvers"
+                "PETOperator has no adjoint here: construct with "
+                "with_rmatvec=True, or call .ensure_adjoint() before "
+                "passing a with_rmatvec='lazy' operator across a "
+                "jit/pytree boundary (the host scipy handle does not "
+                "survive flattening)"
             )
         if x.ndim == 1:
             return pet_matvec(self._pet_t, x, self._interpret)
@@ -687,15 +698,12 @@ class PETOperator:
     _ARR = ("ent", "dat", "meta", "meta_v")
 
     def tree_flatten(self):
-        # The host-side scipy handle (`with_rmatvec="lazy"`) cannot cross a
-        # pytree boundary, so honor the lazy-adjoint contract by building
-        # the adjoint PET once, here, before the handle is dropped.  The
-        # build is cached on self, so repeated flattens (every jit call)
-        # pay nothing after the first.
-        if self._pet_t is None and self._sp is not None:
-            self._pet_t = build_pet(
-                self._sp.T.conj().tocsr(), data_dtype=self._data_dtype
-            )
+        # The host-side scipy handle (`with_rmatvec="lazy"`) cannot cross
+        # a pytree boundary; laziness is PRESERVED — flattening must not
+        # spend an O(nnz) adjoint build + device memory that CG/GMRES
+        # never use.  Solvers that need the adjoint call ensure_adjoint()
+        # before tracing (solvers/_common.setup); a flattened copy whose
+        # adjoint was never built raises a targeted error from rmatvec.
         pt = self._pet_t
         children = (
             tuple(self._pet[k] for k in self._ARR)

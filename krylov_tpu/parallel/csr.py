@@ -50,12 +50,26 @@ def partition_csr(A, n_shards):
     N = A.shape[0]
     pad = (-N) % n_shards
     if pad:
-        # zero row/column padding: padded entries of every solver vector
-        # start at zero and stay at zero (zero rows produce zero outputs,
-        # zero columns contribute nothing to real rows), so trajectories
-        # are bit-identical to the unpadded problem — no masking needed
+        # unit-diagonal padding: padded entries of every solver vector
+        # start at zero and stay at zero (identity rows map 0 -> 0, padded
+        # columns are never read by real rows), so Krylov trajectories are
+        # bit-identical to the unpadded problem — and diagonal-dividing
+        # solvers (jacobi/GS/SOR) and M_factory smoothers built from the
+        # local operator divide by 1 at padded rows instead of 0/0 = NaN
+        import scipy.sparse as _sps
+
+        n0, m0 = A.shape
         A = A.copy()
-        A.resize((N + pad, A.shape[1] + pad))
+        A.resize((n0 + pad, m0 + pad))
+        eye_pad = _sps.csr_matrix(
+            (
+                np.ones(pad, A.dtype),
+                (np.arange(n0, n0 + pad), np.arange(m0, m0 + pad)),
+            ),
+            shape=A.shape,
+        )
+        A = (A + eye_pad).tocsr()
+        A.sort_indices()
         N = N + pad
     n_local = N // n_shards
 

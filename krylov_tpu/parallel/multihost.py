@@ -51,7 +51,12 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already initialized" in str(e).lower():
+        # jax raises "distributed.initialize should only be called once."
+        # on re-init (jax._src.distributed); older versions said "already
+        # initialized" — both mean the runtime is up, which is the
+        # documented no-op
+        msg = str(e).lower()
+        if "already initialized" in msg or "only be called once" in msg:
             return
         if explicit:
             raise

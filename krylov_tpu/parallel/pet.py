@@ -56,12 +56,14 @@ def partition_pet(sp, n_shards, data_dtype=None):
     """Host-side partition of a scipy sparse matrix into per-shard PETs.
 
     Returns stacked device arrays (leading shard axis) + static geometry.
-    A row count that does not divide into the shards is zero-padded
-    (empty rows/columns; padded vector entries stay exactly zero, so
-    trajectories match the unpadded problem — same scheme as
+    A row count that does not divide into the shards is padded with
+    unit-diagonal rows (padded vector entries stay exactly zero, so
+    trajectories match the unpadded problem, while diagonal-dividing
+    solvers and M_factory smoothers see a 1, not a 0/0 — same scheme as
     :func:`~krylov_tpu.parallel.csr.partition_csr`);
     ``sharded_solve`` pads the vectors and slices the solution back.
     """
+    import numpy as np
     import scipy.sparse
 
     sp = scipy.sparse.csr_matrix(sp)
@@ -70,6 +72,14 @@ def partition_pet(sp, n_shards, data_dtype=None):
     if pad:
         sp = sp.copy()
         sp.resize((n + pad, m + pad))
+        eye_pad = scipy.sparse.csr_matrix(
+            (
+                np.ones(pad, sp.dtype),
+                (np.arange(n, n + pad), np.arange(m, m + pad)),
+            ),
+            shape=sp.shape,
+        )
+        sp = (sp + eye_pad).tocsr()
         n, m = sp.shape
     n_local = n // n_shards
 

@@ -308,11 +308,13 @@ def _sharded_solve_grid(
     coeffs_global = None if is_const else A.coeffs2d
     if pad_grid:
         # pad GRID ROWS to the shard multiple.  Variable-coefficient
-        # operators get zero coefficient rows (padded outputs exactly
-        # zero); the const-stencil operator masks rows >= Mg in its local
-        # matvec instead (its weights are global constants).  Real rows
-        # near the bottom edge read the padded x rows as zeros — identical
-        # to the operators' zero Dirichlet boundary — so trajectories are
+        # operators get unit-diagonal padded rows (identity maps the
+        # all-zero padded entries to zero, and the diagonal is 1 for
+        # smoothers); the const-stencil operator masks rows >= Mg in its
+        # local matvec instead (its weights are global constants, and its
+        # constant center weight is already nonzero).  Real rows near the
+        # bottom edge read the padded x rows as zeros — identical to the
+        # operators' zero Dirichlet boundary — so trajectories are
         # unchanged.
         gpad = jnp.zeros((pad_grid,) + b2.shape[1:], b2.dtype)
         b2 = jnp.concatenate([b2, gpad], axis=0)
@@ -322,17 +324,17 @@ def _sharded_solve_grid(
                 [Md2, jnp.ones((pad_grid, ny), b2.dtype)], axis=0
             )
         if not is_const:
-            coeffs_global = jnp.concatenate(
-                [
-                    coeffs_global,
-                    jnp.zeros(
-                        (coeffs_global.shape[0], pad_grid)
-                        + coeffs_global.shape[2:],
-                        coeffs_global.dtype,
-                    ),
-                ],
-                axis=1,
+            cpad = jnp.zeros(
+                (coeffs_global.shape[0], pad_grid) + coeffs_global.shape[2:],
+                coeffs_global.dtype,
             )
+            if 0 in A.offsets:
+                # unit center coefficient on padded rows: padded vector
+                # entries still stay exactly zero (identity maps 0 -> 0),
+                # but diagonal-dividing solvers and M_factory smoothers
+                # divide by 1 there instead of 0/0 = NaN
+                cpad = cpad.at[A.offsets.index(0)].set(1)
+            coeffs_global = jnp.concatenate([coeffs_global, cpad], axis=1)
     Mg_pad = Mg + pad_grid
     Md_spec = P() if M_diag is None else P(ROWS, None)
 

@@ -12,9 +12,13 @@ from .._inner import get_default_inner
 from .._operators import Identity, as_operator
 
 
-def setup(A, b, x0=None, inner=None, maxiter=None):
+def setup(A, b, x0=None, inner=None, maxiter=None, needs_rmatvec=False):
     b = jnp.asarray(b)
     A = as_operator(A)
+    if needs_rmatvec and hasattr(A, "ensure_adjoint"):
+        # two-sided solvers materialize a lazy adjoint host-side, up
+        # front — inside jit (post-flatten) the host handle is gone
+        A.ensure_adjoint()
     assert len(A.shape) == 2
     assert A.shape[0] == A.shape[1]
     N = A.shape[0]

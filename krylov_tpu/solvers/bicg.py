@@ -38,7 +38,7 @@ def bicg(
     callback: Optional[Callable] = None,
     backend: str = EAGER,
 ):
-    A, b, x0_arr, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)
+    A, b, x0_arr, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter, needs_rmatvec=True)
     M = preconditioner(M)
 
     def _norm(x):

@@ -81,13 +81,18 @@ def gmres(
     inner_is_none = inner is None
     if maxiter is None:
         bshape = jnp.shape(jnp.asarray(b)) if not hasattr(b, "shape") else b.shape
-        if bshape and int(np.prod(bshape)) >= (1 << 13):
+        # N = rows only; RHS columns scale the basis linearly, not the
+        # iteration count that makes it O(N^2)
+        if bshape and int(bshape[0]) >= (1 << 13):
             import warnings
 
+            n_rhs = int(np.prod(bshape[1:])) if len(bshape) > 1 else 1
             warnings.warn(
                 "full GMRES with maxiter=None allocates an O(N^2) basis "
-                f"(N = {int(np.prod(bshape))}); pass maxiter= or use "
-                "restart= (GMRES(m)) at this scale",
+                f"(N = {int(bshape[0])}"
+                + (f", x{n_rhs} RHS columns" if n_rhs > 1 else "")
+                + "); pass maxiter= or use restart= (GMRES(m)) at this "
+                "scale",
                 stacklevel=2,
             )
     A, b, x0, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)

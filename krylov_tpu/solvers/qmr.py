@@ -52,7 +52,7 @@ def qmr(
     callback: Optional[Callable] = None,
     backend: str = EAGER,
 ):
-    A, b, x0_arr, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)
+    A, b, x0_arr, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter, needs_rmatvec=True)
     Ml = preconditioner(Ml)
     Mr = preconditioner(Mr)
 

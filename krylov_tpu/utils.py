@@ -116,9 +116,14 @@ def angles(F, G, inner=None, compute_vectors: bool = False):
     else:
         # cosine pass: sigma descending, so the small angles come first
         Y, sigma, Zh = jnp.linalg.svd(ip(QF, QG))
-        U = QF @ Y                      # (n, p) F-side principal vectors
-        V = QG @ jnp.conj(Zh).T         # (n, q) G-side principal vectors
+        Z = jnp.conj(Zh).T
         ns = int(np.count_nonzero(np.asarray(sigma) ** 2 >= 0.5))
+        # the dense principal-vector products are O(n p^2): only the
+        # ns small-angle G-side columns are needed for the sine pass;
+        # the full U/V pair is built on request alone
+        if compute_vectors:
+            U = QF @ Y                  # (n, p) F-side principal vectors
+            V = QG @ Z                  # (n, q) G-side principal vectors
         theta = jnp.concatenate(
             [
                 jnp.arccos(jnp.clip(sigma[ns:], -1.0, 1.0)),
@@ -128,7 +133,7 @@ def angles(F, G, inner=None, compute_vectors: bool = False):
 
         if ns > 0:
             # sine pass over the first ns pairs
-            Vs = V[:, :ns]
+            Vs = V[:, :ns] if compute_vectors else QG @ Z[:, :ns]
             B = Vs - QF @ ip(QF, Vs)    # G-side component outside range(F)
             _, Rb = qr(B, inner=inner)
             _, mu, Zbh = jnp.linalg.svd(Rb)

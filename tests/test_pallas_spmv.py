@@ -205,17 +205,25 @@ def test_native_pet_builder_matches_numpy_bitwise():
 
     from krylov_tpu.ops import _native
 
-    for kind, seed in (("band", 0), ("rand", 1)):
+    for kind, seed in (("band", 0), ("rand", 1), ("wide", 2)):
         rng = np.random.default_rng(seed)
-        n = 1 << 17
-        rr = np.repeat(np.arange(n), 4)
-        if kind == "band":
-            cc = np.clip(rr + rng.integers(-300, 300, 4 * n), 0, n - 1)
+        if kind == "wide":
+            # columns > 2^22 puts the page index above 2^15: regression
+            # for the lexsort-key bit width in the C++ builder (a 15-bit
+            # page field silently merged slots across distant pages)
+            n, m = 1 << 15, 5 << 20
+            rr = np.repeat(np.arange(n), 3)
+            cc = rng.integers(0, m, 3 * n)
         else:
-            cc = rng.integers(0, n, 4 * n)
+            n = m = 1 << 17
+            rr = np.repeat(np.arange(n), 4)
+            if kind == "band":
+                cc = np.clip(rr + rng.integers(-300, 300, 4 * n), 0, n - 1)
+            else:
+                cc = rng.integers(0, n, 4 * n)
         sp = scipy.sparse.csr_matrix(
-            (rng.standard_normal(4 * n).astype(np.float32), (rr, cc)),
-            shape=(n, n),
+            (rng.standard_normal(len(rr)).astype(np.float32), (rr, cc)),
+            shape=(n, m),
         )
         sp.sum_duplicates()
 
@@ -239,3 +247,68 @@ def test_native_pet_builder_matches_numpy_bitwise():
         for k in ("ent", "dat", "meta", "meta_v"):
             np.testing.assert_array_equal(host[k], np.asarray(ref[k]),
                                           err_msg=f"{kind}/{k}")
+
+
+def test_route_cache_mutation_and_eviction():
+    """The as_operator route cache must (a) invalidate on ANY in-place
+    value edit — the fingerprint hashes the full buffers, sampling missed
+    single-element edits — and (b) self-evict when the scipy matrix is
+    garbage collected, so per-time-step matrices don't leak device
+    buffers (r3 review findings)."""
+    import gc
+
+    from krylov_tpu import _operators
+
+    sp = scipy.sparse.random(
+        256, 256, density=0.05, random_state=5, format="csr"
+    ).astype(np.float32)
+
+    calls = []
+
+    def build(A):
+        calls.append(1)
+        return ("op", A.nnz)
+
+    op1 = _operators._route_cached(sp, build)
+    op2 = _operators._route_cached(sp, build)
+    assert op1 is op2 and len(calls) == 1  # cache hit
+
+    sp.data[1] *= 100.0  # single-element in-place edit
+    op3 = _operators._route_cached(sp, build)
+    assert len(calls) == 2, "mutated matrix must rebuild"
+    assert op3 is not op1
+
+    key = id(sp)
+    assert key in _operators._ROUTE_CACHE
+    del sp, op1, op2, op3
+    gc.collect()
+    assert key not in _operators._ROUTE_CACHE, "dead entry must evict"
+
+
+def test_pet_lazy_adjoint_survives_flatten_without_building():
+    """Flattening a with_rmatvec='lazy' operator must NOT build the
+    adjoint (CG/GMRES never use it); two-sided solvers materialize it
+    host-side via ensure_adjoint() before tracing (solvers/_common.setup),
+    and a flattened copy without one raises a targeted error."""
+    import jax.tree_util as jtu
+
+    sp = scipy.sparse.random(512, 512, density=0.05, random_state=7,
+                             format="csr").astype(np.float32)
+    A = PETOperator.from_scipy(sp, with_rmatvec="lazy", interpret=True)
+
+    leaves, treedef = jtu.tree_flatten(A)
+    assert A._pet_t is None, "flatten must stay lazy"
+    A2 = jtu.tree_unflatten(treedef, leaves)
+    x = jnp.asarray(RNG.standard_normal(512).astype(np.float32))
+    with pytest.raises(ValueError, match="ensure_adjoint"):
+        A2.rmatvec(x)
+
+    # bicg goes through setup(needs_rmatvec=True): adjoint is built before
+    # any tracing, so the solve works end-to-end on the lazy operator
+    A.ensure_adjoint()
+    assert A._pet_t is not None
+    leaves, treedef = jtu.tree_flatten(A)
+    A3 = jtu.tree_unflatten(treedef, leaves)
+    np.testing.assert_allclose(
+        np.asarray(A3.rmatvec(x)), sp.T @ np.asarray(x), atol=1e-4
+    )

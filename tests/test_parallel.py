@@ -757,6 +757,53 @@ def test_sharded_grid_prime_rows_pads_to_shards():
     )
 
 
+def test_sharded_padded_rows_unit_diagonal_no_nan():
+    """Padded shards carry a UNIT diagonal, so diagonal-dividing solvers
+    (jacobi) and M_factory smoothers (SSOR sweeps) see a 1 at padded
+    rows instead of 0/0 = NaN, while Krylov trajectories stay identical
+    to the unpadded problem (r3 review finding: zero-diagonal padding
+    NaN-contaminated every diagonal-dividing path)."""
+    from krylov_tpu import SSORSmoother
+
+    rng = np.random.default_rng(101)
+
+    # grid path, prime row count (67 % 8 != 0) + SSOR-smoother M_factory:
+    # the smoother's sweeps divide by the padded rows' diagonal
+    A = stencil.poisson_2d(67, 16)
+    b = jnp.asarray(rng.standard_normal(67 * 16))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(),
+        M_factory=lambda A_l: SSORSmoother(A_l),
+        tol=1e-10, maxiter=600,
+    )
+    assert info.success
+    assert np.isfinite(np.asarray(sol)).all()
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-8 * (1 + np.linalg.norm(np.asarray(b)))
+
+    # grid path + jacobi as the SOLVER (update = omega * r / diag)
+    sol_j, info_j = parallel.sharded_solve(
+        krylov_tpu.jacobi, A, b, mesh=_mesh(), omega=0.9, tol=1e-6,
+        maxiter=4000,
+    )
+    assert info_j.success
+    assert np.isfinite(np.asarray(sol_j)).all()
+
+    # CSR path, prime N + jacobi solver through the padded partition
+    n = 509
+    sp = scipy.sparse.diags(
+        [-1.0, 3.2, -1.0], [-1, 0, 1], shape=(n, n), format="csr"
+    )
+    bj = jnp.asarray(rng.standard_normal(n))
+    sol_c, info_c = parallel.sharded_solve(
+        krylov_tpu.jacobi, sp, bj, mesh=_mesh(), tol=1e-8, maxiter=500,
+    )
+    assert info_c.success
+    assert np.isfinite(np.asarray(sol_c)).all()
+    rj = np.asarray(bj) - sp @ np.asarray(sol_c)
+    assert np.linalg.norm(rj) <= 1e-7 * (1 + np.linalg.norm(np.asarray(bj)))
+
+
 def _spd_csr(n, rng, density=0.004):
     sp = scipy.sparse.random(n, n, density=density, random_state=42,
                              format="csr")
