@@ -348,7 +348,15 @@ def _route_scipy_sparse(A):
         # need it; building it here would double the O(nnz) cost).
         from .ops.pallas_spmv import PETOperator
 
-        return PETOperator.from_scipy(A, with_rmatvec="lazy")
+        # reorder="auto": badly ordered matrices (sampled fill < 0.15 and
+        # RCM at least doubles it) are built on their bandwidth-reduced
+        # symmetric permutation — measured up to 147x fewer streamed
+        # bytes on scrambled meshes, at two hidden O(N) gathers per
+        # matvec; well-ordered matrices are untouched.  Square only (the
+        # permutation is symmetric); rectangular keeps user order.
+        reorder = "auto" if A.shape[0] == A.shape[1] else None
+        return PETOperator.from_scipy(A, with_rmatvec="lazy",
+                                      reorder=reorder)
     return CSROperator.from_scipy(A)
 
 

@@ -52,8 +52,18 @@ class PETPartition(dict):
     """Marker type: host-side PET partition accepted by ``sharded_solve``."""
 
 
-def partition_pet(sp, n_shards, data_dtype=None):
+def partition_pet(sp, n_shards, data_dtype=None, reorder=None):
     """Host-side partition of a scipy sparse matrix into per-shard PETs.
+
+    ``reorder``: ``"rcm"`` partitions the symmetric reverse-Cuthill–McKee
+    reordering of the matrix (up to 147x PET fill on badly ordered
+    meshes — see :func:`krylov_tpu.ops.pallas_spmv.rcm_permutation`),
+    ``"auto"`` reorders only when a sampled fill estimate says it pays
+    >=2x, an index array uses that permutation.  ``sharded_solve``
+    permutes the vectors once per solve and un-permutes the returned
+    iterate, so callers keep user-order semantics with zero
+    per-iteration cost.  RCM also localizes columns near the diagonal,
+    which shrinks the halo the shards must exchange.
 
     Returns stacked device arrays (leading shard axis) + static geometry.
     A row count that does not divide into the shards is padded with
@@ -67,6 +77,31 @@ def partition_pet(sp, n_shards, data_dtype=None):
     import scipy.sparse
 
     sp = scipy.sparse.csr_matrix(sp)
+
+    perm_np = None
+    if reorder is not None:
+        from ..ops.pallas_spmv import estimate_pet_fill, rcm_permutation
+
+        if isinstance(reorder, str):
+            if reorder == "rcm":
+                perm_np = rcm_permutation(sp)
+            elif reorder == "auto":
+                f0 = estimate_pet_fill(sp)
+                if f0 < 0.15:
+                    cand = rcm_permutation(sp)
+                    if estimate_pet_fill(sp, cand) >= 2.0 * f0:
+                        perm_np = cand
+            else:
+                raise ValueError(f"unknown reorder mode {reorder!r}")
+        else:
+            perm_np = np.asarray(reorder, np.int64)
+        if perm_np is not None:
+            if sp.shape[0] != sp.shape[1]:
+                raise ValueError(
+                    "reorder= needs a square matrix (symmetric permutation)"
+                )
+            sp = sp[perm_np][:, perm_np].tocsr()
+
     n, m = sp.shape
     pad = (-n) % n_shards
     if pad:
@@ -99,7 +134,7 @@ def partition_pet(sp, n_shards, data_dtype=None):
         )
         lc_t = pet["lc"]
         pets_t.append(pet)
-    out = PETPartition(n_local=n_local, shape=(n, m))
+    out = PETPartition(n_local=n_local, shape=(n, m), perm=perm_np)
     for tag, plist in (("", pets), ("t_", pets_t)):
         nchunks = max(p["nchunks"] for p in plist)
         plist = [_pad_chunks(p, nchunks) for p in plist]

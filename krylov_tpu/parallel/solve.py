@@ -114,6 +114,19 @@ def sharded_solve(
     N = b.shape[0]
     if maxiter is None:
         maxiter = N
+    # PET partitions built with reorder= hold B = A[perm][:, perm]: solve
+    # in the bandwidth-reduced order (permute the vectors ONCE here,
+    # un-permute the iterate on return — inner products, residual norms
+    # and trajectories are permutation-invariant, and no per-iteration
+    # gather is needed, unlike the single-chip PETOperator route)
+    perm = A.get("perm") if isinstance(A, PETPartition) else None
+    if perm is not None:
+        perm = np.asarray(perm)
+        b = jnp.asarray(b)[perm]
+        if x0 is not None:
+            x0 = jnp.asarray(x0)[perm]
+        if M_diag is not None:
+            M_diag = jnp.asarray(M_diag)[perm]
     pad_rows = (-N) % n_rows
     if pad_rows and not (
         isinstance(A, (CSROperator, PETPartition)) or hasattr(A, "tocsr")
@@ -261,6 +274,10 @@ def sharded_solve(
 
     if pad_rows:
         xk = xk[:N]
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        xk = jnp.take(xk, jnp.asarray(inv, jnp.int32), axis=0)
     numsteps = int(np.max(np.asarray(numsteps)))
     success = bool(np.all(np.asarray(success)))
     resnorms = np.asarray(buf)[: numsteps + 1]

@@ -98,12 +98,17 @@ def spmv_traffic_model(A, dtype=None) -> int:
         slot_lanes = pet["nchunks"] * pet["lc"] * 128
         # value stream + int8 column stream + per-chunk metadata tile +
         # x window fetches (>= one x pass) + y write
-        return (
+        base = (
             slot_lanes * (A.dtype.itemsize + 1)
             + pet["nchunks"] * 8 * 128 * 4
             + pet["pages_pad"] * 128 * 4
             + n * 4
         )
+        if getattr(A, "_perm", None) is not None:
+            # hidden reorder gathers: x into B-order and y back
+            # (index read + src read + dst write, both directions)
+            base += 2 * 3 * n * 4
+        return base
     if hasattr(A, "coeffs2d") or hasattr(A, "coeffs"):
         ndiag = (
             A.coeffs2d.shape[0] if hasattr(A, "coeffs2d") else A.coeffs.shape[0]

@@ -312,3 +312,102 @@ def test_pet_lazy_adjoint_survives_flatten_without_building():
     np.testing.assert_allclose(
         np.asarray(A3.rmatvec(x)), sp.T @ np.asarray(x), atol=1e-4
     )
+
+
+def _scrambled_banded(n=20000, seed=11):
+    rng = np.random.default_rng(seed)
+    row_nnz = rng.integers(3, 12, n)
+    nnz = int(row_nnz.sum())
+    indptr = np.r_[0, np.cumsum(row_nnz)]
+    r = np.repeat(np.arange(n), row_nnz)
+    c = np.clip(r + rng.integers(-40, 40, nnz), 0, n - 1)
+    sp = scipy.sparse.csr_matrix(
+        (rng.standard_normal(nnz).astype(np.float32), (r, c)), shape=(n, n)
+    )
+    sp.sum_duplicates()
+    p = rng.permutation(n)
+    return sp[p][:, p].tocsr()
+
+
+def test_pet_reorder_rcm_correct_and_improves_fill():
+    """reorder="rcm" builds the PET of the bandwidth-reduced symmetric
+    permutation but keeps user-order matvec/rmatvec semantics; on a
+    scrambled banded matrix the fill (inverse of streamed bytes) improves
+    severalfold."""
+    from krylov_tpu.ops.pallas_spmv import estimate_pet_fill
+
+    sp = _scrambled_banded()
+    A0 = PETOperator.from_scipy(sp, interpret=True)
+    A1 = PETOperator.from_scipy(
+        sp, with_rmatvec=True, interpret=True, reorder="rcm"
+    )
+    assert A1.fill > 2 * A0.fill, (A0.fill, A1.fill)
+
+    x = RNG.standard_normal(sp.shape[1]).astype(np.float32)
+    want = sp @ x
+    scale = 1 + np.abs(want).max()
+    np.testing.assert_allclose(
+        np.asarray(A1 @ jnp.asarray(x)), want, atol=2e-5 * scale
+    )
+    wantT = sp.T @ x
+    np.testing.assert_allclose(
+        np.asarray(A1.rmatvec(jnp.asarray(x))), wantT,
+        atol=2e-5 * (1 + np.abs(wantT).max()),
+    )
+    X = RNG.standard_normal((sp.shape[1], 3)).astype(np.float32)
+    wantM = sp @ X
+    np.testing.assert_allclose(
+        np.asarray(A1 @ jnp.asarray(X)), wantM,
+        atol=2e-5 * (1 + np.abs(wantM).max()),
+    )
+    # diagonal stays in user order
+    np.testing.assert_allclose(np.asarray(A1.diagonal()), sp.diagonal())
+
+    # the permutation survives the pytree boundary
+    leaves, treedef = jax.tree_util.tree_flatten(A1)
+    A2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    np.testing.assert_allclose(
+        np.asarray(A2 @ jnp.asarray(x)),
+        np.asarray(A1 @ jnp.asarray(x)),
+    )
+
+    # the fill estimator tracks the built fill for routing decisions
+    est0 = estimate_pet_fill(sp)
+    est1 = estimate_pet_fill(sp, A1._perm is not None and np.asarray(A1._perm))
+    assert abs(est0 - A0.fill) / A0.fill < 0.5
+    assert est1 > 2 * est0
+
+
+def test_pet_reorder_auto_and_explicit_perm():
+    """"auto" reorders scrambled matrices and leaves well-ordered ones
+    alone; an explicit index array is honored."""
+    sp_bad = _scrambled_banded(seed=12)
+    A_auto = PETOperator.from_scipy(sp_bad, interpret=True, reorder="auto")
+    assert A_auto._perm is not None  # scrambled: reorders
+
+    sp_good = CASES["tridiag"].astype(np.float32)
+    A_good = PETOperator.from_scipy(sp_good, interpret=True, reorder="auto")
+    assert A_good._perm is None  # already ordered: no permutation
+
+    from krylov_tpu.ops.pallas_spmv import rcm_permutation
+
+    perm = rcm_permutation(sp_bad)
+    A_explicit = PETOperator.from_scipy(sp_bad, interpret=True, reorder=perm)
+    x = RNG.standard_normal(sp_bad.shape[1]).astype(np.float32)
+    want = sp_bad @ x
+    np.testing.assert_allclose(
+        np.asarray(A_explicit @ jnp.asarray(x)), want,
+        atol=2e-5 * (1 + np.abs(want).max()),
+    )
+
+    # a reordered operator drives a whole solve through the public API
+    spd = sp_bad @ sp_bad.T + 20.0 * scipy.sparse.identity(
+        sp_bad.shape[0], dtype=np.float32, format="csr"
+    )
+    Ar = PETOperator.from_scipy(spd.tocsr().astype(np.float32),
+                                interpret=True, reorder="rcm")
+    b = np.ones(sp_bad.shape[0], np.float32)
+    sol, info = krylov_tpu.cg(Ar, jnp.asarray(b), tol=1e-5, maxiter=500)
+    assert info.success
+    r = b - spd @ np.asarray(sol)
+    assert np.linalg.norm(r) <= 1e-3 * (1 + np.linalg.norm(b))

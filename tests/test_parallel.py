@@ -947,3 +947,56 @@ def test_sharded_pet_prime_n_pads_to_shards():
     assert sol.shape == (n,)
     r = np.asarray(b) - sp @ np.asarray(sol)
     assert np.linalg.norm(r) <= 1e-3 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_sharded_pet_rcm_reorder_matches_user_order():
+    """partition_pet(reorder="rcm") solves in the bandwidth-reduced order
+    (one vector permutation per solve, no per-iteration gathers) and the
+    returned iterate is in USER order; fill improves on a scrambled
+    matrix and the trajectory matches the unreordered sharded solve
+    step-for-step (permutation-invariant inner products)."""
+    rng = np.random.default_rng(113)
+    # big enough that each shard needs multiple chunks (at tiny sizes the
+    # one-chunk-per-group minimum quantizes away any fill difference)
+    n = 65536
+    base = scipy.sparse.diags(
+        [-1.0, -0.5, 3.6, -0.5, -1.0], [-256, -1, 0, 1, 256],
+        shape=(n, n), format="csr",
+    )
+    base = base + scipy.sparse.diags(0.3 * rng.random(n))
+    p = rng.permutation(n)
+    sp = base[p][:, p].tocsr().astype(np.float32)  # scrambled SPD
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    part0 = parallel.partition_pet(sp, 8)
+    part1 = parallel.partition_pet(sp, 8, reorder="rcm")
+    assert part1["perm"] is not None
+    assert part1["fill"] > 2 * part0["fill"], (part0["fill"], part1["fill"])
+
+    sol0, info0 = parallel.sharded_solve(
+        krylov_tpu.cg, part0, b, mesh=_mesh(), tol=1e-4, maxiter=300
+    )
+    sol1, info1 = parallel.sharded_solve(
+        krylov_tpu.cg, part1, b, mesh=_mesh(), tol=1e-4, maxiter=300
+    )
+    assert info1.success
+    assert info1.numsteps == info0.numsteps
+    r = np.asarray(b) - sp @ np.asarray(sol1)
+    assert np.linalg.norm(r) <= 1e-3 * (1 + np.linalg.norm(np.asarray(b)))
+    np.testing.assert_allclose(
+        np.asarray(sol1), np.asarray(sol0), atol=5e-4
+    )
+    m = min(len(info0.resnorms), len(info1.resnorms))
+    np.testing.assert_allclose(
+        info1.resnorms[:m], info0.resnorms[:m], rtol=2e-3
+    )
+
+    # Jacobi M_diag is given in user order and must be permuted with b
+    Md = 1.0 / np.asarray(sp.diagonal())
+    solm, infom = parallel.sharded_solve(
+        krylov_tpu.cg, part1, b, mesh=_mesh(), M_diag=Md,
+        tol=1e-4, maxiter=300,
+    )
+    assert infom.success
+    rm = np.asarray(b) - sp @ np.asarray(solm)
+    assert np.linalg.norm(rm) <= 1e-3 * (1 + np.linalg.norm(np.asarray(b)))

@@ -169,6 +169,10 @@ def test_angles_vectors_pairing(inner_idx, dims):
         pytest.skip("helpers' weighted inner is real-valued")
     th, U, V = krylov.utils.angles(F, G, inner=inner, compute_vectors=True)
     th, U, V = np.asarray(th), np.asarray(U), np.asarray(V)
+    # the vector-free path (no U/V products) must return identical angles
+    np.testing.assert_allclose(
+        np.asarray(krylov.utils.angles(F, G, inner=inner)), th, atol=1e-13
+    )
     assert U.shape == F.shape and V.shape == G.shape
     want = np.zeros((kf, kg))
     m = min(kf, kg)

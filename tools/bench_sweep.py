@@ -321,6 +321,64 @@ def main():
         )
         bench_pet_rhs("spmm_csrpet_irregular_multirhs8_f32", sp_irr, X_irr)
 
+        # symmetric-RCM reorder (reorder="rcm"/"auto" on PETOperator /
+        # partition_pet): a scrambled 2-D Poisson streams ~100x fewer
+        # slot-bytes after reordering; the kernel is stream-bound so SpMV
+        # time should track the fill ratio
+        from krylov_tpu.ops.pallas_spmv import rcm_permutation
+
+        prng = np.random.default_rng(9)
+        npg = 1 << 10
+        n_p = npg * npg
+        lap_p = scipy.sparse.diags(
+            [-1.0, -1.0, 4.5, -1.0, -1.0], [-npg, -1, 0, 1, npg],
+            shape=(n_p, n_p), format="csr", dtype=np.float32,
+        )
+        pscr = prng.permutation(n_p)
+        sp_scr = lap_p[pscr][:, pscr].tocsr()
+        perm_r = rcm_permutation(sp_scr)
+        sp_rcm = sp_scr[perm_r][:, perm_r].tocsr()
+
+        def time_pet_mv(sp_mat):
+            pet = build_pet(sp_mat)
+            geom = dict(nchunks=pet["nchunks"], ngroups=pet["ngroups"],
+                        pages_pad=pet["pages_pad"], lc=pet["lc"],
+                        interpret=False)
+            npad = pet["pages_pad"] * 128
+            xw = jnp.asarray(
+                prng.standard_normal(npad), jnp.float32
+            ).reshape(pet["pages_pad"], 128)
+
+            @partial(jax.jit, static_argnums=5)
+            def chain(ent, dat, meta, meta_v, x2, K):
+                def body(i, xc):
+                    y = _pet_matvec_padded(ent, dat, meta, meta_v, xc,
+                                           **geom)
+                    yf = y.reshape(-1)[:npad] * 1e-4
+                    return yf.reshape(x2.shape) + xc * 0.5
+
+                return lax.fori_loop(0, K, body, x2)
+
+            dt = _timed(
+                chain,
+                (pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], xw),
+                k_lo=2, k_hi=18,
+            )
+            return pet, dt
+
+        pet_scr, dt_scr = time_pet_mv(sp_scr)
+        pet_rcm, dt_rcm = time_pet_mv(sp_rcm)
+        print(json.dumps({
+            "metric": "spmv_csrpet_rcm_reorder_speedup",
+            "value": round(dt_scr / dt_rcm, 2), "unit": "x",
+            "scrambled_us": round(dt_scr * 1e6, 2),
+            "rcm_us": round(dt_rcm * 1e6, 2),
+            "fill_scrambled": round(pet_scr["fill"], 4),
+            "fill_rcm": round(pet_rcm["fill"], 4),
+            "n_rows": n_p, "nnz": int(sp_scr.nnz), "device": kind,
+        }))
+        del pet_scr, pet_rcm, sp_scr, sp_rcm, lap_p
+
     # ---- BASELINE config 5 (single-chip compute side): Chebyshev +
     # stationary smoothers on a 100M-row 3-D 7-point Laplacian.  The
     # row-partitioned multi-host execution of the same solvers is

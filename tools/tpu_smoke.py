@@ -127,6 +127,17 @@ def main():
     err = np.abs(Yp8 - Yw8).max() / (np.abs(Yw8).max() + 1e-9)
     check("pet_csr_spmm_rhs8", err, 1e-5)
 
+    # 7b''. RCM-reordered PET on a scrambled matrix: user-order semantics
+    # through the hidden permutation, and the fill must improve
+    pscr = rng.permutation(npet)
+    sp_scr = sp_pet[pscr][:, pscr].tocsr()
+    A_scr = PETOperator.from_scipy(sp_scr, with_rmatvec=False,
+                                   interpret=False, reorder="rcm")
+    y_r = np.asarray(A_scr @ xp)
+    y_w = sp_scr @ np.asarray(xp)
+    err = np.abs(y_r - y_w).max() / (np.abs(y_w).max() + 1e-9)
+    check("pet_csr_rcm_reorder_spmv", err, 1e-5)
+
     # 7c. pipelined and block CG on the real chip (compiled)
     sol, info = krylov.cg_pipelined(
         A, b, tol=1e-3, maxiter=2000, backend="while_loop"
