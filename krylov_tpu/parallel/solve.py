@@ -35,6 +35,33 @@ from .mesh import (
 )
 
 
+def _bandwidth(sp):
+    """max |col - row| over the stored entries of a scipy CSR matrix."""
+    counts = np.diff(sp.indptr)
+    rows = np.repeat(np.arange(sp.shape[0]), counts)
+    if rows.size == 0:
+        return 0
+    return int(np.abs(sp.indices - rows).max())
+
+
+def _resolve_reorder_csr(sp, reorder):
+    """Resolve ``reorder`` ("rcm" | "auto" | index array) for the CSR
+    route to a permutation, or None to keep user order.  "auto" reorders
+    when RCM at least halves the bandwidth (the quantity that sets the
+    halo width the shards must exchange)."""
+    from ..ops.pallas_spmv import rcm_permutation
+
+    if isinstance(reorder, str):
+        if reorder == "rcm":
+            return rcm_permutation(sp)
+        if reorder == "auto":
+            cand = rcm_permutation(sp)
+            spc = sp[cand][:, cand].tocsr()
+            return cand if 2 * _bandwidth(spc) <= _bandwidth(sp) else None
+        raise ValueError(f"unknown reorder mode {reorder!r}")
+    return np.asarray(reorder, np.int64)
+
+
 def sharded_solve(
     solver,
     A,
@@ -48,6 +75,7 @@ def sharded_solve(
     tol=1e-5,
     atol=1e-15,
     maxiter=None,
+    reorder=None,
     **solver_kwargs,
 ):
     """Solve ``A x = b`` with ``solver`` row-partitioned over ``mesh``.
@@ -72,6 +100,14 @@ def sharded_solve(
       ``lambda A_l: ChebyshevPreconditioner(A_l, (lo, hi), degree=6)``:
       matvec-based preconditioners then run distributed for free (their
       matvecs are the sharded operator's own halo-exchanging matvecs).
+    * ``reorder`` — for scipy/CSR operators: solve on the symmetric
+      RCM reordering (``"rcm"``, an index array, or ``"auto"`` which
+      reorders only when it at least halves the matrix bandwidth).  A
+      bandwidth-reduced ordering shrinks the halo the shards exchange
+      and can flip the partition from all-gather to halo mode; the
+      vectors are permuted once per solve and the iterate is returned
+      in user order (trajectories are permutation-invariant).  For PET
+      partitions pass ``reorder=`` to :func:`partition_pet` instead.
 
     Returns ``(sol, Info)`` with reference-parity semantics: ``sol is None``
     when unconverged, ``info.resnorms`` a host array of shape
@@ -81,6 +117,56 @@ def sharded_solve(
     n_rows = mesh.shape[ROWS]
 
     b = jnp.asarray(b)
+
+    if reorder is not None:
+        # resolve once, permute the problem, recurse, un-permute the
+        # iterate — uniform across plain and restarted solves
+        if isinstance(A, PETPartition):
+            raise ValueError(
+                "pass reorder= to partition_pet for PET partitions"
+            )
+        if not (isinstance(A, CSROperator) or hasattr(A, "tocsr")):
+            raise ValueError(
+                "reorder= supports scipy/CSR operators (grid/banded "
+                "operators are already bandwidth-ordered)"
+            )
+        import scipy.sparse
+
+        spA = A
+        if not scipy.sparse.issparse(spA):
+            spA = scipy.sparse.csr_matrix(
+                (np.asarray(A.data), np.asarray(A.indices),
+                 np.asarray(A.indptr)),
+                shape=A.shape,
+            )
+        spA = spA.tocsr()
+        perm_np = _resolve_reorder_csr(spA, reorder)
+        if perm_np is not None:
+            A_p = spA[perm_np][:, perm_np].tocsr()
+            pj = jnp.asarray(perm_np, jnp.int32)
+            b_p = jnp.take(b, pj, axis=0)
+            x0_p = (
+                None if x0 is None
+                else jnp.take(jnp.asarray(x0), pj, axis=0)
+            )
+            Md_p = (
+                None if M_diag is None
+                else jnp.take(jnp.asarray(M_diag), pj, axis=0)
+            )
+            sol_p, info = sharded_solve(
+                solver, A_p, b_p, mesh=mesh, shard_rhs=shard_rhs,
+                x0=x0_p, M_diag=Md_p, M_factory=M_factory, tol=tol,
+                atol=atol, maxiter=maxiter, **solver_kwargs,
+            )
+            inv_np = np.empty_like(perm_np)
+            inv_np[perm_np] = np.arange(len(perm_np))
+            xk = jnp.take(info.xk, jnp.asarray(inv_np, jnp.int32), axis=0)
+            info = Info(
+                info.success, xk, info.numsteps, info.resnorms,
+                info.num_operations, info.arnoldi,
+            )
+            return (xk if info.success else None), info
+        # reorder resolved to "keep user order": fall through
 
     # restarts (GMRES(m)) are a host-level outer loop: run one compiled
     # sharded solve per cycle, warm-starting from the previous iterate

@@ -1000,3 +1000,62 @@ def test_sharded_pet_rcm_reorder_matches_user_order():
     assert infom.success
     rm = np.asarray(b) - sp @ np.asarray(solm)
     assert np.linalg.norm(rm) <= 1e-3 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_sharded_csr_reorder_flips_gather_to_halo():
+    """sharded_solve(reorder=) on a scrambled CSR matrix: RCM shrinks the
+    bandwidth so the partition flips from all-gather to halo mode, and
+    the solve matches the user-order solve step-for-step."""
+    rng = np.random.default_rng(117)
+    n = 1024
+    base = scipy.sparse.diags(
+        [-1.0, 3.1, -1.0], [-1, 0, 1], shape=(n, n), format="csr"
+    )
+    base = base + scipy.sparse.diags(0.2 * rng.random(n))
+    p = rng.permutation(n)
+    sp = base[p][:, p].tocsr()
+    b = jnp.asarray(rng.standard_normal(n))
+
+    # scrambled: columns land far from the diagonal -> gather mode
+    part_scr = parallel.partition_csr(sp, 8)
+    assert part_scr["mode"] == "gather"
+    from krylov_tpu.ops.pallas_spmv import rcm_permutation
+
+    perm = rcm_permutation(sp)
+    part_rcm = parallel.partition_csr(sp[perm][:, perm].tocsr(), 8)
+    assert part_rcm["mode"] == "halo"
+
+    sol0, info0 = parallel.sharded_solve(
+        krylov_tpu.cg, sp, b, mesh=_mesh(), tol=1e-10, maxiter=200
+    )
+    sol1, info1 = parallel.sharded_solve(
+        krylov_tpu.cg, sp, b, mesh=_mesh(), tol=1e-10, maxiter=200,
+        reorder="auto",
+    )
+    assert info1.success
+    assert info1.numsteps == info0.numsteps
+    np.testing.assert_allclose(np.asarray(sol1), np.asarray(sol0), atol=1e-8)
+    m = min(len(info0.resnorms), len(info1.resnorms))
+    np.testing.assert_allclose(
+        info1.resnorms[:m], info0.resnorms[:m], rtol=1e-8, atol=1e-12
+    )
+    r = np.asarray(b) - sp @ np.asarray(sol1)
+    assert np.linalg.norm(r) <= 1e-9 * (1 + np.linalg.norm(np.asarray(b)))
+
+    # restarted GMRES rides the same wrapper
+    solg, infog = parallel.sharded_solve(
+        krylov_tpu.gmres, sp, b, mesh=_mesh(), tol=1e-8, maxiter=120,
+        restart=30, reorder="rcm",
+    )
+    assert infog.success
+    rg = np.asarray(b) - sp @ np.asarray(solg)
+    assert np.linalg.norm(rg) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+
+    # already-ordered matrices keep user order under "auto"
+    part = parallel.partition_csr(base.tocsr(), 8)
+    assert part["mode"] == "halo"
+    sol2, info2 = parallel.sharded_solve(
+        krylov_tpu.cg, base.tocsr(), b, mesh=_mesh(), tol=1e-10,
+        maxiter=200, reorder="auto",
+    )
+    assert info2.success
