@@ -286,6 +286,60 @@ def main():
         # fallback the SpMM kernel replaces)
         extras["csr_pet_spmm_amortization"] = round(K_RHS * dtp / dts, 2)
 
+        # symmetric-RCM reorder (PETOperator reorder="rcm"/"auto",
+        # auto-routed): a scrambled 2-D Poisson's fill collapses to ~0.01
+        # (each entry needs its own slot-lane row), RCM restores column
+        # locality; the kernel is stream-bound so time tracks fill.
+        # Scrambled side kept small — its PET arrays are ~100x nnz.
+        from krylov_tpu.ops.pallas_spmv import rcm_permutation
+
+        npr = 256
+        Nr = npr * npr
+        lap_r = scipy.sparse.diags(
+            [-1.0, -1.0, 4.5, -1.0, -1.0], [-npr, -1, 0, 1, npr],
+            shape=(Nr, Nr), format="csr", dtype=np.float32,
+        )
+        prr = np.random.default_rng(11).permutation(Nr)
+        sp_scr = lap_r[prr][:, prr].tocsr()
+        perm_rcm = rcm_permutation(sp_scr)
+        sp_rcm = sp_scr[perm_rcm][:, perm_rcm].tocsr()
+
+        def _time_pet(sp_mat):
+            petx = build_pet(sp_mat)
+            geom = dict(nchunks=petx["nchunks"], ngroups=petx["ngroups"],
+                        pages_pad=petx["pages_pad"], lc=petx["lc"],
+                        interpret=False)
+            npad = petx["pages_pad"] * 128
+            xw2 = jnp.asarray(
+                rng.standard_normal(npad), jnp.float32
+            ).reshape(petx["pages_pad"], 128)
+
+            @partial(jax.jit, static_argnums=5)
+            def chainx(ent, dat, meta, meta_v, x2, K):
+                def body(i, xc):
+                    y = _pet_matvec_padded(
+                        ent, dat, meta, meta_v, xc, **geom
+                    )
+                    yf = y.reshape(-1)[:npad] * 1e-4
+                    return yf.reshape(x2.shape) + xc * 0.5
+
+                return lax.fori_loop(0, K, body, x2)
+
+            dtx2 = timed(
+                chainx,
+                (petx["ent"], petx["dat"], petx["meta"], petx["meta_v"],
+                 xw2),
+                2, 18, 3,
+            )
+            return petx["fill"], dtx2
+
+        fill_s, dt_s = _time_pet(sp_scr)
+        fill_r, dt_r = _time_pet(sp_rcm)
+        extras["csr_pet_rcm_speedup"] = round(dt_s / dt_r, 2)
+        extras["csr_pet_rcm_fill"] = round(fill_r, 4)
+        extras["csr_pet_scrambled_fill"] = round(fill_s, 4)
+        del sp_scr, sp_rcm, lap_r
+
         # XLA baseline on the same matrix (gather + segment_sum)
         from krylov_tpu.ops.sparse import CSROperator
 

@@ -328,7 +328,10 @@ def main():
         from krylov_tpu.ops.pallas_spmv import rcm_permutation
 
         prng = np.random.default_rng(9)
-        npg = 1 << 10
+        # modest size: the SCRAMBLED side's fill is ~0.01, so its PET
+        # arrays are ~100x nnz — at 65k rows that is ~1 GB of HBM, the
+        # price of demonstrating the ordering pathology on-device
+        npg = 1 << 8
         n_p = npg * npg
         lap_p = scipy.sparse.diags(
             [-1.0, -1.0, 4.5, -1.0, -1.0], [-npg, -1, 0, 1, npg],
