@@ -11,6 +11,7 @@ from .chebyshev import chebyshev
 from .fgmres import fgmres
 from .gcr import gcr
 from .gmres import gmres
+from .lsqr import lsqr
 from .minres import minres
 from .pipelined import cg_pipelined
 from .qmr import qmr
@@ -47,6 +48,7 @@ __all__ = [
     "fgmres",
     "gcr",
     "gmres",
+    "lsqr",
     "minres",
     "qmr",
     "refine",
