@@ -217,28 +217,37 @@ def main():
             shape=(ncsr, ncsr),
         )
         pet = build_pet(sp_csr)
-        xw = jnp.asarray(
-            rng.standard_normal(pet["pages_pad"] * 128), jnp.float32
-        ).reshape(pet["pages_pad"], 128)
 
-        @partial(jax.jit, static_argnums=5)
-        def chain_pet(ent, dat, meta, meta_v, x2, K):
-            def body(i, xc):
-                y = _pet_matvec_padded(
-                    ent, dat, meta, meta_v, xc,
-                    nchunks=pet["nchunks"], ngroups=pet["ngroups"],
-                    pages_pad=pet["pages_pad"], lc=pet["lc"],
-                    interpret=False,
-                )
-                yf = y.reshape(-1)[: pet["pages_pad"] * 128] * 1e-4
-                return yf.reshape(xc.shape) + xc * 0.5
-            return lax.fori_loop(0, K, body, x2)
+        def time_pet_mv(petx):
+            # chained-matvec timer shared by the irregular and the
+            # RCM-reorder measurements below
+            geom = dict(nchunks=petx["nchunks"], ngroups=petx["ngroups"],
+                        pages_pad=petx["pages_pad"], lc=petx["lc"],
+                        interpret=False)
+            npad = petx["pages_pad"] * 128
+            xw2 = jnp.asarray(
+                rng.standard_normal(npad), jnp.float32
+            ).reshape(petx["pages_pad"], 128)
 
-        dtp = timed(
-            chain_pet,
-            (pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], xw),
-            2, 18, 3,
-        )
+            @partial(jax.jit, static_argnums=5)
+            def chainx(ent, dat, meta, meta_v, x2, K):
+                def body(i, xc):
+                    y = _pet_matvec_padded(
+                        ent, dat, meta, meta_v, xc, **geom
+                    )
+                    yf = y.reshape(-1)[:npad] * 1e-4
+                    return yf.reshape(x2.shape) + xc * 0.5
+
+                return lax.fori_loop(0, K, body, x2)
+
+            return timed(
+                chainx,
+                (petx["ent"], petx["dat"], petx["meta"], petx["meta_v"],
+                 xw2),
+                2, 18, 3,
+            )
+
+        dtp = time_pet_mv(pet)
         pet_nnz = pet["nnz"]
         slot_bytes = pet["nchunks"] * 128 * pet["lc"] * 5  # int8 lcol + f32 data
         extras["csr_pet_spmv_us"] = round(dtp * 1e6, 2)
@@ -304,37 +313,11 @@ def main():
         perm_rcm = rcm_permutation(sp_scr)
         sp_rcm = sp_scr[perm_rcm][:, perm_rcm].tocsr()
 
-        def _time_pet(sp_mat):
-            petx = build_pet(sp_mat)
-            geom = dict(nchunks=petx["nchunks"], ngroups=petx["ngroups"],
-                        pages_pad=petx["pages_pad"], lc=petx["lc"],
-                        interpret=False)
-            npad = petx["pages_pad"] * 128
-            xw2 = jnp.asarray(
-                rng.standard_normal(npad), jnp.float32
-            ).reshape(petx["pages_pad"], 128)
-
-            @partial(jax.jit, static_argnums=5)
-            def chainx(ent, dat, meta, meta_v, x2, K):
-                def body(i, xc):
-                    y = _pet_matvec_padded(
-                        ent, dat, meta, meta_v, xc, **geom
-                    )
-                    yf = y.reshape(-1)[:npad] * 1e-4
-                    return yf.reshape(x2.shape) + xc * 0.5
-
-                return lax.fori_loop(0, K, body, x2)
-
-            dtx2 = timed(
-                chainx,
-                (petx["ent"], petx["dat"], petx["meta"], petx["meta_v"],
-                 xw2),
-                2, 18, 3,
-            )
-            return petx["fill"], dtx2
-
-        fill_s, dt_s = _time_pet(sp_scr)
-        fill_r, dt_r = _time_pet(sp_rcm)
+        pet_s = build_pet(sp_scr)
+        pet_r = build_pet(sp_rcm)
+        fill_s, dt_s = pet_s["fill"], time_pet_mv(pet_s)
+        fill_r, dt_r = pet_r["fill"], time_pet_mv(pet_r)
+        del pet_s, pet_r
         extras["csr_pet_rcm_speedup"] = round(dt_s / dt_r, 2)
         extras["csr_pet_rcm_fill"] = round(fill_r, 4)
         extras["csr_pet_scrambled_fill"] = round(fill_s, 4)

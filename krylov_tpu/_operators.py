@@ -291,10 +291,14 @@ def _route_cached(A, build):
         return hit[2]
     op = build(A)
     try:
-        def _evict(ref, _key=key):
-            ent = _ROUTE_CACHE.get(_key)
-            if ent is not None and ent[0] is ref:
-                del _ROUTE_CACHE[_key]
+        def _evict(ref, _key=key, _cache=_ROUTE_CACHE):
+            # _cache bound as a default: at interpreter shutdown module
+            # globals are cleared before the matrices are finalized, and
+            # a global lookup here would raise inside the weakref callback
+            if _cache is not None:
+                ent = _cache.get(_key)
+                if ent is not None and ent[0] is ref:
+                    del _cache[_key]
 
         _ROUTE_CACHE[key] = (weakref.ref(A, _evict), fp, op)
     except TypeError:

@@ -605,6 +605,62 @@ def rcm_permutation(sp):
     )
 
 
+def invert_permutation(perm):
+    """Inverse of an index permutation: ``inv[perm[i]] = i``."""
+    perm = np.asarray(perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return inv
+
+
+def resolve_reorder(sp, reorder, metric="fill"):
+    """Resolve a reorder spec to a permutation, or None to keep order.
+
+    ``reorder``: ``"rcm"`` (always reorder), ``"auto"`` (reorder only when
+    it pays — by sampled PET fill for ``metric="fill"`` (< 0.15 and RCM
+    gains >= 2x), by matrix bandwidth for ``metric="bandwidth"`` (RCM at
+    least halves it)), or an explicit index array.  Raises up front for
+    rectangular matrices with a symmetric-reorder request; never
+    materializes the permuted matrix (callers permute once, if at all).
+    """
+    import scipy.sparse
+
+    if reorder is None:
+        return None
+    if isinstance(reorder, str) and sp.shape[0] != sp.shape[1]:
+        raise ValueError(
+            "reorder= needs a square matrix (symmetric permutation)"
+        )
+    if isinstance(reorder, str):
+        if reorder == "rcm":
+            return rcm_permutation(sp)
+        if reorder != "auto":
+            raise ValueError(f"unknown reorder mode {reorder!r}")
+        csr = scipy.sparse.csr_matrix(sp)
+        if metric == "fill":
+            f0 = estimate_pet_fill(csr)
+            if f0 >= 0.15:
+                return None
+            cand = rcm_permutation(csr)
+            return cand if estimate_pet_fill(csr, cand) >= 2.0 * f0 else None
+        # bandwidth: compute both without materializing the permutation
+        counts = np.diff(csr.indptr)
+        rows = np.repeat(np.arange(csr.shape[0]), counts)
+        if rows.size == 0:
+            return None
+        bw0 = int(np.abs(csr.indices - rows).max())
+        cand = rcm_permutation(csr)
+        inv = invert_permutation(cand)
+        bw1 = int(np.abs(inv[csr.indices] - inv[rows]).max())
+        return cand if 2 * bw1 <= bw0 else None
+    perm = np.asarray(reorder, np.int64)
+    if sp.shape[0] != sp.shape[1]:
+        raise ValueError(
+            "reorder= needs a square matrix (symmetric permutation)"
+        )
+    return perm
+
+
 def estimate_pet_fill(sp, perm=None, n_sample=64, seed=0):
     """Estimate PET fill of (a symmetric reordering of) ``sp`` cheaply.
 
@@ -694,7 +750,12 @@ class PETOperator:
         self._diag = diag
         self.shape = tuple(shape)
         self._interpret = interpret
-        self._sp = sp                  # host handle for lazy adjoint builds
+        # host handle for lazy adjoint builds: a zero-arg callable
+        # returning the scipy matrix (or None when it is gone), so a
+        # route-cached operator does not strongly hold the USER's matrix
+        # alive — that strong chain would defeat the cache's weakref
+        # eviction and leak one O(nnz) entry per time-step matrix
+        self._sp = sp
         self._data_dtype = data_dtype
         # symmetric reordering: the PET holds B = A[perm][:, perm]; the
         # matvec gathers x into B's order and scatters y back, so callers
@@ -706,8 +767,10 @@ class PETOperator:
     def from_scipy(cls, sp, with_rmatvec=True, interpret=None,
                    data_dtype=None, reorder=None):
         """``with_rmatvec``: True builds the adjoint PET now, "lazy" defers
-        it to the first ``rmatvec`` call (keeping a host-side handle to the
-        scipy matrix), False disables the adjoint.
+        it to the first ``rmatvec`` call (keeping a host-side WEAK handle
+        to the scipy matrix — the caller must keep the matrix alive until
+        the adjoint is first needed, or use True), False disables the
+        adjoint.
 
         ``reorder``: ``"rcm"`` builds the PET of the symmetric
         reverse-Cuthill–McKee reordering (31-147x fill on badly ordered
@@ -719,34 +782,16 @@ class PETOperator:
         """
         import scipy.sparse
 
-        perm_np = None
-        if isinstance(reorder, str):
-            if reorder == "rcm":
-                perm_np = rcm_permutation(sp)
-            elif reorder == "auto":
-                f0 = estimate_pet_fill(sp)
-                if f0 < 0.15:
-                    cand = rcm_permutation(sp)
-                    if estimate_pet_fill(sp, cand) >= 2.0 * f0:
-                        perm_np = cand
-            else:
-                raise ValueError(f"unknown reorder mode {reorder!r}")
-        elif reorder is not None:
-            perm_np = np.asarray(reorder, np.int64)
-
+        perm_np = resolve_reorder(sp, reorder, metric="fill")
         sp_build = sp
         perm = inv_perm = None
         if perm_np is not None:
-            if sp.shape[0] != sp.shape[1]:
-                raise ValueError(
-                    "reorder= needs a square matrix (symmetric permutation)"
-                )
             csr = scipy.sparse.csr_matrix(sp)
             sp_build = csr[perm_np][:, perm_np].tocsr()
-            inv_np = np.empty_like(perm_np)
-            inv_np[perm_np] = np.arange(len(perm_np))
             perm = jnp.asarray(perm_np, jnp.int32)
-            inv_perm = jnp.asarray(inv_np, jnp.int32)
+            inv_perm = jnp.asarray(
+                invert_permutation(perm_np), jnp.int32
+            )
 
         pet = build_pet(sp_build, data_dtype=data_dtype)
         pet_t = (
@@ -758,9 +803,22 @@ class PETOperator:
         diag = jnp.asarray(
             np.asarray(sp.tocsr().diagonal(), dtype=np.float32)
         )
+        sp_handle = None
+        if with_rmatvec == "lazy":
+            if sp_build is sp:
+                # the handle targets the USER's matrix: keep only a
+                # weakref so a route-cached operator never extends its
+                # lifetime (that strong chain would defeat the cache's
+                # weakref eviction and leak per-time-step matrices)
+                import weakref
+
+                sp_handle = weakref.ref(sp_build)
+            else:
+                # we own the permuted copy; hold it strongly
+                sp_handle = (lambda _ref=sp_build: _ref)
         return cls(
             pet, pet_t, diag, sp.shape, interpret,
-            sp=(sp_build if with_rmatvec == "lazy" else None),
+            sp=sp_handle,
             data_dtype=data_dtype, perm=perm, inv_perm=inv_perm,
         )
 
@@ -803,9 +861,11 @@ class PETOperator:
         adjoint can no longer be built.
         """
         if self._pet_t is None and self._sp is not None:
-            self._pet_t = build_pet(
-                self._sp.T.conj().tocsr(), data_dtype=self._data_dtype
-            )
+            spb = self._sp()  # weakref or strong-closure handle
+            if spb is not None:
+                self._pet_t = build_pet(
+                    spb.T.conj().tocsr(), data_dtype=self._data_dtype
+                )
         return self
 
     def rmatvec(self, x):
@@ -816,7 +876,8 @@ class PETOperator:
                 "with_rmatvec=True, or call .ensure_adjoint() before "
                 "passing a with_rmatvec='lazy' operator across a "
                 "jit/pytree boundary (the host scipy handle does not "
-                "survive flattening)"
+                "survive flattening, nor garbage collection of the "
+                "source matrix)"
             )
         return self._apply(self._pet_t, x)
 
@@ -824,6 +885,11 @@ class PETOperator:
         return self._diag
 
     _ARR = ("ent", "dat", "meta", "meta_v")
+
+    # diffable.solve: the pytree leaves are FORMAT arrays (slot values /
+    # int8 column indices / metadata), and the Pallas kernel has no JVP —
+    # parameter cotangents are declined; gradients flow through b
+    params_differentiable = False
 
     def tree_flatten(self):
         # The host-side scipy handle (`with_rmatvec="lazy"`) cannot cross

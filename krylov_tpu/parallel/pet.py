@@ -78,29 +78,11 @@ def partition_pet(sp, n_shards, data_dtype=None, reorder=None):
 
     sp = scipy.sparse.csr_matrix(sp)
 
-    perm_np = None
-    if reorder is not None:
-        from ..ops.pallas_spmv import estimate_pet_fill, rcm_permutation
+    from ..ops.pallas_spmv import resolve_reorder
 
-        if isinstance(reorder, str):
-            if reorder == "rcm":
-                perm_np = rcm_permutation(sp)
-            elif reorder == "auto":
-                f0 = estimate_pet_fill(sp)
-                if f0 < 0.15:
-                    cand = rcm_permutation(sp)
-                    if estimate_pet_fill(sp, cand) >= 2.0 * f0:
-                        perm_np = cand
-            else:
-                raise ValueError(f"unknown reorder mode {reorder!r}")
-        else:
-            perm_np = np.asarray(reorder, np.int64)
-        if perm_np is not None:
-            if sp.shape[0] != sp.shape[1]:
-                raise ValueError(
-                    "reorder= needs a square matrix (symmetric permutation)"
-                )
-            sp = sp[perm_np][:, perm_np].tocsr()
+    perm_np = resolve_reorder(sp, reorder, metric="fill")
+    if perm_np is not None:
+        sp = sp[perm_np][:, perm_np].tocsr()
 
     n, m = sp.shape
     pad = (-n) % n_shards

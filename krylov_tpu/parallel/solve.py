@@ -35,33 +35,6 @@ from .mesh import (
 )
 
 
-def _bandwidth(sp):
-    """max |col - row| over the stored entries of a scipy CSR matrix."""
-    counts = np.diff(sp.indptr)
-    rows = np.repeat(np.arange(sp.shape[0]), counts)
-    if rows.size == 0:
-        return 0
-    return int(np.abs(sp.indices - rows).max())
-
-
-def _resolve_reorder_csr(sp, reorder):
-    """Resolve ``reorder`` ("rcm" | "auto" | index array) for the CSR
-    route to a permutation, or None to keep user order.  "auto" reorders
-    when RCM at least halves the bandwidth (the quantity that sets the
-    halo width the shards must exchange)."""
-    from ..ops.pallas_spmv import rcm_permutation
-
-    if isinstance(reorder, str):
-        if reorder == "rcm":
-            return rcm_permutation(sp)
-        if reorder == "auto":
-            cand = rcm_permutation(sp)
-            spc = sp[cand][:, cand].tocsr()
-            return cand if 2 * _bandwidth(spc) <= _bandwidth(sp) else None
-        raise ValueError(f"unknown reorder mode {reorder!r}")
-    return np.asarray(reorder, np.int64)
-
-
 def sharded_solve(
     solver,
     A,
@@ -139,8 +112,12 @@ def sharded_solve(
                  np.asarray(A.indptr)),
                 shape=A.shape,
             )
+        from ..ops.pallas_spmv import invert_permutation, resolve_reorder
+
         spA = spA.tocsr()
-        perm_np = _resolve_reorder_csr(spA, reorder)
+        # "auto" here reorders when RCM at least halves the bandwidth —
+        # the quantity that sets the halo width the shards must exchange
+        perm_np = resolve_reorder(spA, reorder, metric="bandwidth")
         if perm_np is not None:
             A_p = spA[perm_np][:, perm_np].tocsr()
             pj = jnp.asarray(perm_np, jnp.int32)
@@ -158,8 +135,7 @@ def sharded_solve(
                 x0=x0_p, M_diag=Md_p, M_factory=M_factory, tol=tol,
                 atol=atol, maxiter=maxiter, **solver_kwargs,
             )
-            inv_np = np.empty_like(perm_np)
-            inv_np[perm_np] = np.arange(len(perm_np))
+            inv_np = invert_permutation(perm_np)
             xk = jnp.take(info.xk, jnp.asarray(inv_np, jnp.int32), axis=0)
             info = Info(
                 info.success, xk, info.numsteps, info.resnorms,
@@ -361,8 +337,9 @@ def sharded_solve(
     if pad_rows:
         xk = xk[:N]
     if perm is not None:
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(len(perm))
+        from ..ops.pallas_spmv import invert_permutation
+
+        inv = invert_permutation(perm)
         xk = jnp.take(xk, jnp.asarray(inv, jnp.int32), axis=0)
     numsteps = int(np.max(np.asarray(numsteps)))
     success = bool(np.all(np.asarray(success)))

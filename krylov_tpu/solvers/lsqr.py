@@ -115,7 +115,10 @@ def lsqr(
         alpha=alpha0,
         phibar=beta0,
         rhobar=alpha0,
-        anorm2=alpha0 * alpha0,
+        # starts at 0 (Paige-Saunders / scipy): the first step adds
+        # alpha0^2 + beta1^2 itself — seeding alpha0^2 here would double
+        # count it and loosen the least-squares stopping test
+        anorm2=jnp.zeros_like(alpha0),
         resnorm=beta0,
         early_success=jnp.asarray(False),
     )

@@ -105,3 +105,35 @@ def test_diffable_inside_jit():
 
     v, g = loss_and_grad(b)
     assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+
+
+def test_grad_through_lazy_pet_operator():
+    """diffable.solve must materialize a lazy PET adjoint before the
+    pytree boundary: the backward pass calls rmatvec on the
+    RECONSTRUCTED operator (r3 review finding — flatten no longer builds
+    the adjoint implicitly)."""
+    import scipy.sparse
+
+    from krylov_tpu.ops.pallas_spmv import PETOperator
+
+    n = 96
+    sp = scipy.sparse.diags(
+        [-1.0, 3.0, -0.5], [-1, 0, 1], shape=(n, n), format="csr"
+    ).astype(np.float32)  # NON-symmetric: the adjoint really differs
+    A = PETOperator.from_scipy(sp, with_rmatvec="lazy", interpret=True)
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(n), jnp.float32)
+    g_out = jnp.asarray(
+        np.random.default_rng(6).standard_normal(n), jnp.float32
+    )
+
+    def loss(b):
+        x = diffable.solve(
+            A, b, solver=krylov_tpu.gmres, tol=1e-6, maxiter=n,
+            adjoint_solver=krylov_tpu.gmres,
+        )
+        return jnp.dot(g_out, x)
+
+    g = jax.grad(loss)(b)
+    # dL/db = A^{-H} g_out
+    want = np.linalg.solve(sp.toarray().T, np.asarray(g_out))
+    np.testing.assert_allclose(np.asarray(g), want, atol=2e-3)

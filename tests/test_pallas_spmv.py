@@ -411,3 +411,43 @@ def test_pet_reorder_auto_and_explicit_perm():
     assert info.success
     r = b - spd @ np.asarray(sol)
     assert np.linalg.norm(r) <= 1e-3 * (1 + np.linalg.norm(b))
+
+
+def test_route_cache_evicts_lazy_pet_chain():
+    """The cached lazy PETOperator must not strongly hold the user's
+    matrix (weak host handle): otherwise the cache's weakref eviction
+    never fires and a time-stepping loop leaks one O(nnz) entry per
+    matrix (r3 review finding)."""
+    import gc
+
+    from krylov_tpu import _operators
+
+    sp = scipy.sparse.random(
+        300, 300, density=0.05, random_state=9, format="csr"
+    ).astype(np.float32)
+    op = _operators._route_cached(
+        sp,
+        lambda A: PETOperator.from_scipy(A, with_rmatvec="lazy",
+                                         interpret=True),
+    )
+    key = id(sp)
+    assert key in _operators._ROUTE_CACHE
+    del sp
+    gc.collect()
+    assert key not in _operators._ROUTE_CACHE, (
+        "lazy operator kept the matrix alive through the cache"
+    )
+    # with the source gone, rmatvec degrades to the targeted error
+    x = jnp.asarray(RNG.standard_normal(300).astype(np.float32))
+    with pytest.raises(ValueError, match="garbage collection"):
+        op.rmatvec(x)
+
+
+def test_reorder_rejects_rectangular_up_front():
+    """resolve_reorder must raise its targeted message before computing
+    any permutation on a rectangular matrix (r3 review finding: scipy's
+    'inconsistent shapes' leaked out of rcm_permutation instead)."""
+    sp = CASES["rect"].astype(np.float32)
+    for spec in ("rcm", "auto"):
+        with pytest.raises(ValueError, match="square matrix"):
+            PETOperator.from_scipy(sp, interpret=True, reorder=spec)
