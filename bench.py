@@ -363,6 +363,40 @@ def main():
             cg_s = min(cg_s, time.perf_counter() - t0)
         extras["cg100_ms"] = round(cg_s * 1e3, 2)
 
+        # multigrid-preconditioned CG, time-to-tolerance at the same
+        # headline size: one V(2,2) cycle per iteration collapses the
+        # O(n) iteration count to ~15, the largest solver-level lever in
+        # the library (plain CG needs thousands of iterations here — see
+        # cg100_ms for the per-100-iteration cost)
+        from krylov_tpu import MultigridPreconditioner
+        from krylov_tpu import cg as cg_generic
+
+        Mmg = MultigridPreconditioner(Ac)
+
+        @jax.jit
+        def solve_mg(b):
+            _, info = cg_generic(
+                Ac, b, M=Mmg, inner=lambda u, v: jnp.sum(u * v),
+                tol=1e-6, maxiter=60, backend="while_loop",
+            )
+            return info.resnorms, jnp.asarray(info.numsteps)
+
+        buf_mg, k_mg = solve_mg(b)
+        float(jnp.sum(buf_mg))
+        mg_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            buf_mg, k_mg = solve_mg(b)
+            float(jnp.sum(buf_mg))
+            mg_s = min(mg_s, time.perf_counter() - t0)
+        kmg = int(k_mg)
+        bmg = np.asarray(buf_mg)
+        extras["cg_mg_ms"] = round(mg_s * 1e3, 2)
+        extras["cg_mg_iters"] = kmg
+        extras["cg_mg_converged"] = bool(
+            bmg[kmg] <= 1e-6 * bmg[0] + 1e-15
+        )
+
         # ---- solver time-to-tolerance on a 1M-row Poisson CSR through
         # the PET kernel (BASELINE configs 1 and 4: GMRES on the
         # nonsymmetric variant; Jacobi-preconditioned BiCGSTAB/QMR on the

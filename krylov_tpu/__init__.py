@@ -32,6 +32,11 @@ from .arnoldi import (
 from .errors import ArgumentError
 from .givens import givens
 from .householder import Householder
+from .multigrid import (
+    MultigridPreconditioner,
+    ShardedMultigridPreconditioner,
+    multigrid_factory,
+)
 from .solvers import *  # noqa: F401,F403
 from .solvers import __all__ as _solver_names
 
@@ -52,6 +57,9 @@ __all__ = [
     "Identity",
     "DiagonalOperator",
     "ChebyshevPreconditioner",
+    "MultigridPreconditioner",
+    "ShardedMultigridPreconditioner",
+    "multigrid_factory",
     "jacobi_preconditioner",
     "Product",
     "as_operator",

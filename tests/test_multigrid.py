@@ -1,0 +1,116 @@
+"""Geometric multigrid V-cycle preconditioner (extension beyond the
+reference, which never supplies its own preconditioners —
+reference: src/krylov/cg.py:33-36 takes M from the user)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import krylov_tpu as krylov
+from krylov_tpu import MultigridPreconditioner
+from krylov_tpu.ops import stencil
+
+INNER = lambda u, v: jnp.sum(jnp.conj(u) * v)  # noqa: E731
+RNG = np.random.default_rng(3)
+
+
+def test_mg_cg_2d_iteration_collapse():
+    """O(n) plain-CG iterations drop to O(10) with one V-cycle as M."""
+    A = stencil.poisson_2d_const(128, 128, dtype=np.float64)
+    b = jnp.asarray(RNG.standard_normal((128, 128)))
+    _, info0 = krylov.cg(A, b, inner=INNER, tol=1e-8, maxiter=2000)
+    M = MultigridPreconditioner(A)
+    assert M.n_levels >= 5
+    sol, info1 = krylov.cg(A, b, M=M, inner=INNER, tol=1e-8, maxiter=2000)
+    assert info1.success
+    assert info1.numsteps <= 25
+    assert info1.numsteps * 10 <= info0.numsteps
+    r = np.asarray(b) - np.asarray(A @ sol)
+    assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_mg_cg_3d():
+    A = stencil.poisson_3d_const(32, 32, 16, dtype=np.float64)
+    b = jnp.asarray(RNG.standard_normal((32 * 32, 16)))
+    M = MultigridPreconditioner(A)
+    _, info0 = krylov.cg(A, b, inner=INNER, tol=1e-8, maxiter=3000)
+    sol, info = krylov.cg(A, b, M=M, inner=INNER, tol=1e-8, maxiter=3000)
+    assert info.success and info.numsteps <= 25
+    assert info.numsteps * 4 <= info0.numsteps
+
+
+def test_mg_compiled_backend_and_jit():
+    """The static-level V-cycle inlines into the compiled while_loop and
+    crosses the jit boundary as an (all-aux) pytree."""
+    A = stencil.poisson_2d_const(64, 64, dtype=np.float64)
+    M = MultigridPreconditioner(A)
+    b = jnp.asarray(RNG.standard_normal((64, 64)))
+
+    @jax.jit
+    def run(M, b):
+        _, info = krylov.cg(
+            A, b, M=M, inner=INNER, tol=1e-8, maxiter=100,
+            backend="while_loop",
+        )
+        return info.xk, jnp.asarray(info.numsteps)
+
+    x, k = run(M, b)
+    r = np.asarray(b) - np.asarray(A @ x)
+    assert int(k) <= 25
+    assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+
+    # eager and compiled agree
+    _, info_e = krylov.cg(
+        A, b, M=M, inner=INNER, tol=1e-8, maxiter=100
+    )
+    assert info_e.numsteps == int(k)
+
+
+def test_mg_vector_shapes_and_blocking():
+    A = stencil.poisson_2d_const(64, 64, dtype=np.float64)
+    M = MultigridPreconditioner(A)
+    bg = jnp.asarray(RNG.standard_normal((64, 64)))
+    # flat and grid-shaped agree
+    zf = M @ bg.reshape(-1)
+    zg = M @ bg
+    np.testing.assert_allclose(
+        np.asarray(zf), np.asarray(zg).reshape(-1), rtol=1e-13
+    )
+    # blocked RHS columns are independent
+    bk = jnp.asarray(RNG.standard_normal((64, 64, 3)))
+    zk = M @ bk
+    z0 = M @ bk[:, :, 1]
+    np.testing.assert_allclose(
+        np.asarray(zk[:, :, 1]), np.asarray(z0), rtol=1e-13
+    )
+
+
+def test_mg_symmetric_enough_for_cg():
+    """<u, M v> ~= <M u, v>: the equal-pre/post-smoothing cycle with
+    P = R^T transfers keeps the cycle symmetric (up to rediscretization
+    error), which is what CG needs from an SPD M."""
+    A = stencil.poisson_2d_const(32, 32, dtype=np.float64)
+    M = MultigridPreconditioner(A)
+    u = jnp.asarray(RNG.standard_normal((32, 32)))
+    v = jnp.asarray(RNG.standard_normal((32, 32)))
+    a = float(INNER(u, M @ v))
+    c = float(INNER(M @ u, v))
+    assert abs(a - c) <= 1e-8 * max(abs(a), abs(c))
+    # and positive
+    assert float(INNER(u, M @ u)) > 0
+
+
+def test_mg_rejects_variable_coefficients():
+    A = stencil.poisson_2d(16, 16)
+    with pytest.raises(TypeError, match="ConstStencilOperator"):
+        MultigridPreconditioner(A)
+
+
+def test_mg_odd_dims_stop_coarsening():
+    A = stencil.poisson_2d_const(24, 18, dtype=np.float64)  # 24,18 -> 12,9 stop
+    M = MultigridPreconditioner(A)
+    assert M.n_levels == 2
+    b = jnp.asarray(RNG.standard_normal((24, 18)))
+    sol, info = krylov.cg(A, b, M=M, inner=INNER, tol=1e-9, maxiter=300)
+    assert info.success

@@ -685,6 +685,91 @@ def test_sharded_chebyshev_polynomial_preconditioner():
     assert info.numsteps * 2 < info_n.numsteps
 
 
+def test_sharded_multigrid_full_coupling_matches_single_device():
+    """The fully distributed V-cycle (halo-exchanging smoothers, local
+    grid transfer, redundant gathered coarse solve) reproduces the
+    single-device multigrid iteration count independent of shard count."""
+    from krylov_tpu import MultigridPreconditioner, multigrid_factory
+
+    A = stencil.poisson_2d_const(128, 128, dtype=np.float64)
+    rng = np.random.default_rng(91)
+    b = jnp.asarray(rng.standard_normal((128, 128)))
+
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(),
+        M_factory=multigrid_factory(coupling="full"),
+        tol=1e-8, maxiter=200,
+    )
+    assert info.success
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+
+    _, info1 = krylov_tpu.cg(
+        A, b, M=MultigridPreconditioner(A),
+        inner=lambda u, v: jnp.sum(u * v), tol=1e-8, maxiter=200,
+    )
+    assert abs(info.numsteps - info1.numsteps) <= 2  # ~15 on Poisson
+
+
+def test_sharded_multigrid_local_coupling_and_3d():
+    """coupling="local" is additive Schwarz with MG subdomain solves:
+    zero cross-device traffic per application, more (but still O(10²))
+    iterations; the 3-D collapsed layout shards whole x-planes."""
+    from krylov_tpu import multigrid_factory
+
+    rng = np.random.default_rng(92)
+    A = stencil.poisson_2d_const(128, 128, dtype=np.float64)
+    b = jnp.asarray(rng.standard_normal((128, 128)))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(),
+        M_factory=multigrid_factory(coupling="local"),
+        tol=1e-8, maxiter=400,
+    )
+    assert info.success and info.numsteps <= 120
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+
+    # 3-D: (32,16,16) grid collapses to (512, 16); 64 rows/shard = 4
+    # x-planes, multi-RHS tail rides along
+    A3 = stencil.poisson_3d_const(32, 16, 16, dtype=np.float64)
+    B3 = jnp.asarray(rng.standard_normal((32 * 16, 16, 2)))
+    sol3, info3 = parallel.sharded_solve(
+        krylov_tpu.cg, A3, B3, mesh=_mesh(),
+        M_factory=multigrid_factory(),  # auto -> full
+        tol=1e-8, maxiter=200,
+    )
+    assert info3.success and info3.numsteps <= 25
+    R3 = np.asarray(B3) - np.asarray(A3 @ jnp.asarray(sol3))
+    assert np.linalg.norm(R3) <= 1e-7 * (1 + np.linalg.norm(np.asarray(B3)))
+
+
+def test_sharded_multigrid_padded_falls_back_to_local():
+    """Prime grid-row count: zero-padding breaks cross-shard coarsening,
+    so auto coupling degrades to the shard-local cycle (masked at padded
+    rows so trajectories stay equivalent to the unpadded problem);
+    explicit coupling="full" refuses loudly."""
+    from krylov_tpu import multigrid_factory
+
+    rng = np.random.default_rng(93)
+    A = stencil.poisson_2d_const(67, 16, dtype=np.float64)
+    b = jnp.asarray(rng.standard_normal(67 * 16))
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(),
+        M_factory=multigrid_factory(), tol=1e-9, maxiter=600,
+    )
+    assert info.success
+    assert np.isfinite(np.asarray(sol)).all()
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-8 * (1 + np.linalg.norm(np.asarray(b)))
+
+    with pytest.raises(ValueError, match="padded grids"):
+        parallel.sharded_solve(
+            krylov_tpu.cg, A, b, mesh=_mesh(),
+            M_factory=multigrid_factory(coupling="full"),
+            tol=1e-9, maxiter=10,
+        )
+
+
 def test_sharded_csr_prime_n_pads_to_shards():
     """N=509 (prime) on 8 devices: partition_csr zero-pads rows/cols to
     the shard multiple; trajectories match the single-device solve

@@ -152,6 +152,19 @@ def main():
     rel_b = np.linalg.norm(Rb) / np.linalg.norm(np.asarray(B3))
     check("cg_block_multirhs", rel_b, 5e-3)
 
+    # 6c. multigrid-preconditioned CG (the V-cycle inlines into the
+    # compiled while_loop; iterations collapse to ~15)
+    from krylov_tpu import MultigridPreconditioner
+
+    Mmg = MultigridPreconditioner(Ac)
+    solm, infom = krylov.cg(
+        Ac, b, M=Mmg, inner=lambda u, v: jnp.sum(u * v),
+        tol=1e-6, maxiter=60, backend="while_loop",
+    )
+    check("cg_multigrid", relres(Ac, infom.xk, b), 1e-4)
+    if int(infom.numsteps) > 30:
+        failures.append(f"cg_multigrid took {int(infom.numsteps)} iters")
+
     # 7. bf16 const-stencil matvec consistency
     x16 = jnp.asarray(rng.standard_normal(Ac.grid), jnp.bfloat16)
     A16 = stencil.ConstStencilOperator(
