@@ -468,6 +468,29 @@ def main():
         # instead of k+1 dependent inner products
         time_solve("gmres_cgs", gmres, Ag, None, 120, ortho="cgs")
 
+        # ---- AMG: smoothed-aggregation V-cycle on the UNSHIFTED 1M-row
+        # Poisson (cond ~ N — the case single-level preconditioning
+        # cannot fix).  Setup is one host pass; every level's matvec
+        # rides the PET kernel, the coarse inverse is one MXU matmul.
+        from krylov_tpu import AMGPreconditioner
+
+        lap0 = scipy.sparse.diags(
+            [-1.0, -1.0, 4.0, -1.0, -1.0],
+            [-npg, -1, 0, 1, npg],
+            shape=(Np, Np), format="csr", dtype=np.float32,
+        )
+        t0 = time.perf_counter()
+        Mamg = AMGPreconditioner.from_scipy(lap0, dtype=np.float32)
+        extras["amg_setup_s"] = round(time.perf_counter() - t0, 2)
+        extras["amg_levels"] = list(Mamg.level_sizes)
+        Ap0 = PETOperator.from_scipy(lap0, with_rmatvec=False)
+        time_solve("cg_amg", cg_generic, Ap0, Mamg, 60)
+        # single-level comparison point on the same system
+        Mj0 = DiagonalOperator(
+            jnp.asarray(1.0 / np.asarray(lap0.diagonal(), np.float32))
+        )
+        time_solve("cg_jacobi", cg_generic, Ap0, Mj0, 1500)
+
     target = 0.8 * peak
     print(json.dumps({
         "metric": "spmv_poisson2d_hbm_bandwidth",

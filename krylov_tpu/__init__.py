@@ -32,6 +32,7 @@ from .arnoldi import (
 from .errors import ArgumentError
 from .givens import givens
 from .householder import Householder
+from .amg import AMGPreconditioner
 from .multigrid import (
     MultigridPreconditioner,
     ShardedMultigridPreconditioner,
@@ -57,6 +58,7 @@ __all__ = [
     "Identity",
     "DiagonalOperator",
     "ChebyshevPreconditioner",
+    "AMGPreconditioner",
     "MultigridPreconditioner",
     "ShardedMultigridPreconditioner",
     "multigrid_factory",

@@ -1,0 +1,317 @@
+"""Algebraic multigrid (smoothed-aggregation) preconditioner for general
+sparse SPD/HPD matrices.
+
+Extension beyond the reference (which ships no preconditioners — ``M``
+is always user-supplied, reference: src/krylov/cg.py:33-36).  Where
+:class:`~krylov_tpu.multigrid.MultigridPreconditioner` needs a
+constant-coefficient grid stencil, AMG builds its coarse hierarchy from
+the MATRIX alone, so it covers variable coefficients, unstructured
+meshes, and any symmetric sparsity.
+
+Split of labor, TPU-first:
+
+* **Setup** (once, on host, numpy/scipy, fully vectorized): strength
+  graph -> two passes of strongest-neighbor pairwise matching (the
+  argmax "best-friend" graph's connected components — Notay-style
+  double pairwise, ~4x coarsening per level) -> tentative piecewise-
+  constant prolongator -> one damped-Jacobi smoothing pass
+  ``P = (I - w D^-1 A) P_hat`` (classic smoothed aggregation) ->
+  Galerkin coarse matrix ``A_c = P^H A P``.  No Python-per-row loops:
+  everything is scipy sparse algebra plus ``connected_components``.
+* **Apply** (every iteration, on device): a static-depth V(s,s) cycle of
+  damped-Jacobi smoothing; each level's matvec goes through
+  :func:`~krylov_tpu._operators.as_operator`, so large levels ride the
+  Pallas PET SpMV kernel on TPU and the portable CSR path on CPU/f64.
+  The coarsest level applies a precomputed dense inverse — one MXU
+  matmul instead of a serial direct solve.  The whole cycle is a pytree
+  of device arrays and inlines into the compiled ``while_loop`` solver.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+__all__ = ["AMGPreconditioner"]
+
+
+def _strength_graph(A, theta):
+    """Symmetric strength-of-connection: keep off-diagonal (i, j) with
+    |a_ij| >= theta * sqrt(|a_ii| |a_jj|); entries hold the normalized
+    strength."""
+    import scipy.sparse
+
+    d = np.abs(A.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    C = A.tocoo()
+    off = C.row != C.col
+    r, c, v = C.row[off], C.col[off], C.data[off]
+    s = np.abs(v) / np.sqrt(d[r] * d[c])
+    keep = s >= theta
+    return scipy.sparse.csr_matrix(
+        (s[keep], (r[keep], c[keep])), shape=A.shape
+    )
+
+
+def _first_valid_per_row(n, row_sorted, col_sorted, valid):
+    """``best[i]`` = first valid col of row ``i`` in a (row asc, strength
+    desc)-sorted COO stream; -1 where a row has none.  O(nnz), no sort."""
+    rv = row_sorted[valid]
+    best = np.full(n, -1, dtype=np.int64)
+    if rv.size:
+        cv = col_sorted[valid]
+        first = np.ones(rv.size, dtype=bool)
+        first[1:] = rv[1:] != rv[:-1]  # rv is non-decreasing
+        best[rv[first]] = cv[first]
+    return best
+
+
+def _pairwise_labels(A, theta, rounds=8):
+    """One pass of strongest-neighbor pairwise matching.
+
+    Luby-style rounds: every unmatched node points at its strongest
+    still-unmatched neighbor; MUTUAL pairs match (a deterministic
+    symmetric jitter breaks strength ties, otherwise uniform stencils
+    degenerate into long chains).  Leftover nodes then join their
+    strongest matched neighbor's pair, so aggregates are size 1-4.
+    The strength stream is sorted ONCE; each round is a linear scan.
+    Returns (labels, n_agg)."""
+    n = A.shape[0]
+    S = _strength_graph(A, theta).tocoo()
+    r, c, s = S.row.astype(np.int64), S.col.astype(np.int64), S.data
+    if s.size:
+        u, v = np.minimum(r, c), np.maximum(r, c)
+        jitter = ((u * 2654435761 + v * 40503) % (1 << 20)) / float(1 << 20)
+        s = s * (1.0 + 1e-6 * jitter)
+        # sort by (row asc, strength desc): rows are 2 apart, strengths
+        # mapped into (0, 1), so rows never interleave
+        key = r * 2.0 - (s / (abs(s.max()) + 1.0)) * 0.5
+        order = np.argsort(key, kind="stable")
+        r, c = r[order], c[order]
+
+    unmatched = np.ones(n, dtype=bool)
+    mate = np.full(n, -1, dtype=np.int64)
+    i = np.arange(n)
+    for _ in range(rounds):
+        if not unmatched.any() or s.size == 0:
+            break
+        best = _first_valid_per_row(n, r, c, unmatched[r] & unmatched[c])
+        ok = (best >= 0) & unmatched
+        mutual = ok & (best[np.clip(best, 0, n - 1)] == i) & (i < best)
+        a, b_ = i[mutual], best[mutual]
+        if a.size == 0:
+            break
+        mate[a], mate[b_] = b_, a
+        unmatched[a] = unmatched[b_] = False
+
+    # label matched pairs
+    labels = np.full(n, -1, dtype=np.int64)
+    pair_lead = (mate >= 0) & (i < mate)
+    leads = np.flatnonzero(pair_lead)
+    labels[leads] = np.arange(leads.size)
+    labels[mate[leads]] = labels[leads]
+    # leftovers join their strongest already-labeled neighbor
+    if unmatched.any() and s.size:
+        best = _first_valid_per_row(n, r, c, unmatched[r] & ~unmatched[c])
+        join = unmatched & (best >= 0)
+        labels[join] = labels[np.clip(best, 0, n - 1)][join]
+        unmatched[join] = False
+    # true isolates become singletons
+    singles = np.flatnonzero(labels < 0)
+    labels[singles] = leads.size + np.arange(singles.size)
+    return labels, leads.size + singles.size
+
+
+def _aggregate(A, theta):
+    """Double pairwise matching (two rounds -> ~4x coarsening)."""
+    import scipy.sparse
+
+    l1, n1 = _pairwise_labels(A, theta)
+    Q1 = scipy.sparse.csr_matrix(
+        (np.ones(A.shape[0]), (np.arange(A.shape[0]), l1)),
+        shape=(A.shape[0], n1),
+    )
+    A1 = (Q1.T @ A @ Q1).tocsr()
+    l2, n2 = _pairwise_labels(A1, theta)
+    return l2[l1], n2
+
+
+def _device_sparse(sp, prefer_pet_rect=False):
+    """Route a setup-side scipy matrix to the device operator format.
+
+    Square matrices go through :func:`as_operator` (PET on TPU f32, CSR
+    on CPU/f64, BSR when block-structured).  Rectangular prolongators
+    use PET directly when the backend qualifies, else portable CSR."""
+    from ._operators import _prefer_pet_for_csr
+    from .ops.sparse import CSROperator
+
+    if sp.shape[0] == sp.shape[1]:
+        from ._operators import as_operator
+
+        return as_operator(sp)
+    if prefer_pet_rect and _prefer_pet_for_csr(sp):
+        from .ops.pallas_spmv import PETOperator
+
+        return PETOperator.from_scipy(sp, with_rmatvec=True)
+    return CSROperator.from_scipy(sp)
+
+
+@register_pytree_node_class
+class AMGPreconditioner:
+    """``z = M @ r`` runs one smoothed-aggregation AMG V-cycle.
+
+    Build with :meth:`from_scipy`; use as the ``M`` of cg/minres (or the
+    ``Ml`` of the two-sided family) in either backend — the cycle is a
+    pytree of static-depth level operators, so it crosses ``jit`` and
+    inlines into the compiled ``while_loop`` drivers.
+
+    Accepts 1-D and blocked ``(N, k)`` right-hand sides.
+    """
+
+    def __init__(self, ops, prolongs, dinvs, coarse_inv, smooth, omega):
+        self._ops = tuple(ops)
+        self._prolongs = tuple(prolongs)
+        self._dinvs = tuple(dinvs)
+        self._coarse_inv = coarse_inv
+        self.smooth = int(smooth)
+        self.omega = float(omega)
+
+    @classmethod
+    def from_scipy(cls, A, *, theta=0.08, smooth=2, omega=2.0 / 3.0,
+                   coarse_size=400, max_levels=12, dtype=None,
+                   smooth_prolongator=True):
+        """Build the hierarchy from a scipy sparse (or dense) SPD matrix.
+
+        * ``theta`` — strength threshold on the normalized coupling
+          ``|a_ij| / sqrt(a_ii a_jj)``.
+        * ``smooth`` / ``omega`` — damped-Jacobi sweeps per level (pre
+          and post; symmetric, so CG accepts the cycle).
+        * ``coarse_size`` — stop coarsening here and invert densely.
+        * ``dtype`` — device dtype for the level operators (defaults to
+          the matrix dtype; pass ``np.float32`` for TPU runs so the
+          levels route to the Pallas PET kernel).
+        * ``smooth_prolongator`` — apply the one-pass Jacobi prolongator
+          smoothing of classic SA; turning it off gives plain (pairwise)
+          aggregation with sparser coarse levels but more iterations.
+        """
+        import scipy.sparse
+
+        if not scipy.sparse.issparse(A):
+            A = scipy.sparse.csr_matrix(np.asarray(A))
+        A = A.tocsr()
+        if A.shape[0] != A.shape[1]:
+            raise ValueError("AMG needs a square matrix")
+        if dtype is not None:
+            A = A.astype(dtype)
+
+        levels = [A]
+        prolongs = []
+        while (
+            levels[-1].shape[0] > coarse_size
+            and len(levels) < max_levels
+        ):
+            Al = levels[-1]
+            labels, n_agg = _aggregate(Al, theta)
+            if n_agg >= 0.9 * Al.shape[0]:
+                break  # coarsening stalled (e.g. diagonal matrix)
+            P = scipy.sparse.csr_matrix(
+                (np.ones(Al.shape[0], Al.dtype),
+                 (np.arange(Al.shape[0]), labels)),
+                shape=(Al.shape[0], n_agg),
+            )
+            if smooth_prolongator:
+                d = Al.diagonal()
+                d = np.where(d != 0, d, 1.0)
+                Dinv_A = scipy.sparse.diags(1.0 / d) @ Al
+                # w = 4/(3 lmax(D^-1 A)), lmax by a short power iteration
+                x = np.random.default_rng(0).standard_normal(Al.shape[0])
+                x /= np.linalg.norm(x)
+                lmax = 1.0
+                for _ in range(12):
+                    y = Dinv_A @ x
+                    lmax = float(np.linalg.norm(y))
+                    if lmax == 0.0:
+                        lmax = 1.0
+                        break
+                    x = y / lmax
+                P = (P - (4.0 / (3.0 * lmax)) * (Dinv_A @ P)).tocsr()
+            Ac = (P.conj().T @ Al @ P).tocsr()
+            if dtype is not None:
+                P, Ac = P.astype(dtype), Ac.astype(dtype)
+            prolongs.append(P)
+            levels.append(Ac)
+
+        ops = [_device_sparse(m) for m in levels[:-1]]
+        P_ops = [_device_sparse(p, prefer_pet_rect=True) for p in prolongs]
+        dinvs = []
+        for m in levels[:-1]:
+            d = m.diagonal()
+            d = np.where(d != 0, d, 1.0)
+            dinvs.append(jnp.asarray(1.0 / d))
+        coarse_inv = jnp.asarray(
+            np.linalg.inv(levels[-1].toarray())
+        )
+        return cls(ops, P_ops, dinvs, coarse_inv, smooth, omega)
+
+    # -- observables ----------------------------------------------------
+    @property
+    def shape(self):
+        n = self._dinvs[0].shape[0] if self._dinvs else \
+            self._coarse_inv.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self._coarse_inv.dtype
+
+    @property
+    def n_levels(self):
+        return len(self._ops) + 1
+
+    @property
+    def level_sizes(self):
+        return tuple(d.shape[0] for d in self._dinvs) + (
+            self._coarse_inv.shape[0],
+        )
+
+    hermitian = True
+
+    # -- the cycle -------------------------------------------------------
+    def _jacobi(self, level, z, r, iters):
+        A = self._ops[level]
+        w_dinv = self.omega * self._dinvs[level]
+        w_dinv = w_dinv.reshape(w_dinv.shape + (1,) * (r.ndim - 1))
+        for _ in range(iters):
+            z = z + w_dinv * (r - A @ z)
+        return z
+
+    def _vcycle(self, level, r):
+        if level == len(self._ops):
+            return jnp.tensordot(self._coarse_inv, r, axes=1)
+        w_dinv = self.omega * self._dinvs[level]
+        z = w_dinv.reshape(w_dinv.shape + (1,) * (r.ndim - 1)) * r
+        z = self._jacobi(level, z, r, self.smooth - 1)
+        d = r - self._ops[level] @ z
+        e = self._vcycle(level + 1, self._prolongs[level].rmatvec(d))
+        z = z + self._prolongs[level] @ e
+        return self._jacobi(level, z, r, self.smooth)
+
+    def __matmul__(self, r):
+        return self._vcycle(0, r)
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        return self @ x  # symmetric cycle
+
+    # -- pytree -----------------------------------------------------------
+    def tree_flatten(self):
+        return (
+            (self._ops, self._prolongs, self._dinvs, self._coarse_inv),
+            (self.smooth, self.omega),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        ops, prolongs, dinvs, coarse_inv = children
+        return cls(ops, prolongs, dinvs, coarse_inv, *aux)

@@ -55,11 +55,17 @@ class CSROperator:
     def from_scipy(cls, A):
         csr = A.tocsr()
         csr.sort_indices()
+        # host-side row expansion: the jnp.repeat fallback in __init__
+        # costs an XLA compile per distinct (nnz, N) shape
+        row_ids = np.repeat(
+            np.arange(csr.shape[0], dtype=np.int32), np.diff(csr.indptr)
+        )
         return cls(
             jnp.asarray(csr.data),
             jnp.asarray(csr.indices, dtype=jnp.int32),
             jnp.asarray(csr.indptr, dtype=jnp.int32),
             csr.shape,
+            row_ids=jnp.asarray(row_ids),
         )
 
     @classmethod
@@ -74,6 +80,7 @@ class CSROperator:
             jnp.asarray(cols, dtype=jnp.int32),
             jnp.asarray(indptr),
             A.shape,
+            row_ids=jnp.asarray(rows, dtype=jnp.int32),
         )
 
     @property

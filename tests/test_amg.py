@@ -1,0 +1,160 @@
+"""Smoothed-aggregation AMG preconditioner (extension beyond the
+reference, which never supplies its own preconditioners —
+reference: src/krylov/cg.py:33-36 takes M from the user)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+
+import krylov_tpu as krylov
+from krylov_tpu import AMGPreconditioner
+
+RNG = np.random.default_rng(11)
+
+
+def poisson2d_csr(nx, ny=None, eps=1.0):
+    ny = nx if ny is None else ny
+    Tx = scipy.sparse.diags(
+        [-np.ones(nx - 1), 2 * np.ones(nx), -np.ones(nx - 1)], [-1, 0, 1]
+    )
+    Ty = scipy.sparse.diags(
+        [-np.ones(ny - 1), 2 * np.ones(ny), -np.ones(ny - 1)], [-1, 0, 1]
+    )
+    return (
+        scipy.sparse.kron(scipy.sparse.eye(ny), Tx)
+        + eps * scipy.sparse.kron(Ty, scipy.sparse.eye(nx))
+    ).tocsr()
+
+
+def test_amg_cg_iteration_collapse_and_mesh_independence():
+    """O(n)-ish plain-CG iterations collapse to O(10), and the count
+    stays flat as the mesh refines (the multigrid property)."""
+    iters = {}
+    for n in (32, 64, 128):
+        A = poisson2d_csr(n)
+        b = jnp.asarray(RNG.standard_normal(n * n))
+        M = AMGPreconditioner.from_scipy(A)
+        sol, info = krylov.cg(A, b, M=M, tol=1e-8, maxiter=300)
+        assert info.success
+        r = np.asarray(b) - A @ np.asarray(sol)
+        assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+        iters[n] = info.numsteps
+    assert iters[128] <= 20
+    assert iters[128] <= iters[32] + 6  # mesh-independent up to noise
+
+    _, info0 = krylov.cg(
+        A, jnp.asarray(RNG.standard_normal(128 * 128)), tol=1e-8, maxiter=2000
+    )
+    assert iters[128] * 10 <= info0.numsteps
+
+
+def test_amg_handles_anisotropy_and_coefficient_jumps():
+    """The strength graph drops weak cross-couplings (anisotropy) and
+    the normalized coupling handles 3-decade coefficient jumps — the
+    cases geometric multigrid on the uniform stencil cannot see."""
+    A = poisson2d_csr(96, eps=0.01)
+    b = jnp.asarray(RNG.standard_normal(96 * 96))
+    M = AMGPreconditioner.from_scipy(A, theta=0.2)
+    sol, info = krylov.cg(A, b, M=M, tol=1e-8, maxiter=300)
+    assert info.success and info.numsteps <= 40
+
+    n = 64
+    d = np.exp(3 * np.random.default_rng(4).standard_normal(n * n))
+    Aj = poisson2d_csr(n)
+    Dh = scipy.sparse.diags(np.sqrt(d))
+    Aj = (Dh @ Aj @ Dh).tocsr()
+    bj = jnp.asarray(RNG.standard_normal(n * n))
+    Mj = AMGPreconditioner.from_scipy(Aj)
+    solj, infoj = krylov.cg(Aj, bj, M=Mj, tol=1e-8, maxiter=300)
+    assert infoj.success and infoj.numsteps <= 120
+    rj = np.asarray(bj) - Aj @ np.asarray(solj)
+    # CG converges in the M-norm (reference semantics); with 3-decade
+    # coefficient jumps the Euclidean residual is a few orders looser
+    assert np.linalg.norm(rj) <= 1e-4 * (1 + np.linalg.norm(np.asarray(bj)))
+    # plain CG is hopeless on this system at the same budget
+    _, infop = krylov.cg(Aj, bj, tol=1e-8, maxiter=300)
+    assert not infop.success
+
+
+def test_amg_backends_agree_and_jit():
+    """The cycle is a pytree of static-depth level operators: identical
+    trajectories in the eager and compiled drivers, and it crosses the
+    jit boundary as a traced argument."""
+    A = poisson2d_csr(48)
+    M = AMGPreconditioner.from_scipy(A)
+    b = jnp.asarray(RNG.standard_normal(48 * 48))
+
+    _, ie = krylov.cg(A, b, M=M, tol=1e-9, maxiter=100)
+    _, iw = krylov.cg(A, b, M=M, tol=1e-9, maxiter=100,
+                      backend="while_loop")
+    assert ie.numsteps == iw.numsteps
+    np.testing.assert_allclose(
+        np.asarray(ie.xk), np.asarray(iw.xk), rtol=1e-9, atol=1e-12
+    )
+
+    Aop = krylov.as_operator(A)
+
+    @jax.jit
+    def run(M, b):
+        _, info = krylov.cg(Aop, b, M=M, tol=1e-9, maxiter=100,
+                            backend="while_loop")
+        return info.xk, jnp.asarray(info.numsteps)
+
+    x, k = run(M, b)
+    assert int(k) == ie.numsteps
+
+
+def test_amg_multirhs_and_other_solvers():
+    A = poisson2d_csr(48)
+    M = AMGPreconditioner.from_scipy(A)
+    B = jnp.asarray(RNG.standard_normal((48 * 48, 3)))
+    solB, iB = krylov.cg(A, B, M=M, tol=1e-8, maxiter=100)
+    assert iB.success
+    R = np.asarray(B) - A @ np.asarray(solB)
+    assert np.linalg.norm(R) <= 1e-7 * (1 + np.linalg.norm(np.asarray(B)))
+
+    b = B[:, 0]
+    _, im = krylov.minres(A, b, M=M, tol=1e-8, maxiter=100)
+    assert im.success
+    _, ibs = krylov.bicgstab(A, b, Ml=M, tol=1e-8, maxiter=100)
+    assert ibs.success and ibs.numsteps <= 15
+
+
+def test_amg_cycle_is_symmetric_positive():
+    """Equal pre/post Jacobi smoothing + P^H transfers keep the V-cycle
+    symmetric — what CG requires of M."""
+    A = poisson2d_csr(32)
+    M = AMGPreconditioner.from_scipy(A)
+    u = jnp.asarray(RNG.standard_normal(32 * 32))
+    v = jnp.asarray(RNG.standard_normal(32 * 32))
+    a = float(jnp.vdot(u, M @ v))
+    c = float(jnp.vdot(M @ u, v))
+    assert abs(a - c) <= 1e-10 * max(abs(a), abs(c))
+    assert float(jnp.vdot(u, M @ u)) > 0
+
+
+def test_amg_setup_guards():
+    with pytest.raises(ValueError, match="square"):
+        AMGPreconditioner.from_scipy(
+            scipy.sparse.random(10, 7, density=0.5, format="csr")
+        )
+    # diagonal matrix: coarsening stalls, hierarchy degenerates sanely
+    Ad = scipy.sparse.diags(1.0 + np.arange(500.0)).tocsr()
+    M = AMGPreconditioner.from_scipy(Ad, coarse_size=100)
+    b = jnp.asarray(RNG.standard_normal(500))
+    sol, info = krylov.cg(Ad, b, M=M, tol=1e-10, maxiter=50)
+    assert info.success
+
+
+def test_amg_unsmoothed_prolongator_option():
+    A = poisson2d_csr(64)
+    M = AMGPreconditioner.from_scipy(A, smooth_prolongator=False)
+    b = jnp.asarray(RNG.standard_normal(64 * 64))
+    sol, info = krylov.cg(A, b, M=M, tol=1e-8, maxiter=300)
+    assert info.success
+    # plain aggregation trades iterations for a sparser hierarchy
+    Msa = AMGPreconditioner.from_scipy(A)
+    _, info_sa = krylov.cg(A, b, M=Msa, tol=1e-8, maxiter=300)
+    assert info_sa.numsteps <= info.numsteps

@@ -165,6 +165,34 @@ def main():
     if int(infom.numsteps) > 30:
         failures.append(f"cg_multigrid took {int(infom.numsteps)} iters")
 
+    # 6d. smoothed-aggregation AMG on a raw CSR Poisson (levels route to
+    # PET on TPU; coarse solve is one dense matmul)
+    import scipy.sparse
+    from krylov_tpu import AMGPreconditioner
+
+    nam = 96
+    Tam = scipy.sparse.diags(
+        [-np.ones(nam - 1), 2 * np.ones(nam), -np.ones(nam - 1)],
+        [-1, 0, 1],
+    )
+    Aam = (
+        scipy.sparse.kron(scipy.sparse.eye(nam), Tam)
+        + scipy.sparse.kron(Tam, scipy.sparse.eye(nam))
+    ).tocsr().astype(np.float32)
+    Mam = AMGPreconditioner.from_scipy(Aam, dtype=np.float32)
+    bam = jnp.asarray(rng.standard_normal(nam * nam), jnp.float32)
+    solam, infoam = krylov.cg(
+        Aam, bam, M=Mam, tol=1e-5, maxiter=60, backend="while_loop"
+    )
+    ram = np.asarray(bam) - Aam @ np.asarray(infoam.xk)
+    check(
+        "cg_amg",
+        float(np.linalg.norm(ram) / np.linalg.norm(np.asarray(bam))),
+        1e-3,
+    )
+    if int(infoam.numsteps) > 30:
+        failures.append(f"cg_amg took {int(infoam.numsteps)} iters")
+
     # 7. bf16 const-stencil matvec consistency
     x16 = jnp.asarray(rng.standard_normal(Ac.grid), jnp.bfloat16)
     A16 = stencil.ConstStencilOperator(
