@@ -24,6 +24,8 @@ Prolongation is piecewise-constant (block repeat), the transpose of the
 block sum, keeping the cycle symmetric enough for CG in practice.
 """
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 from jax.tree_util import register_pytree_node_class
@@ -54,13 +56,44 @@ def _block_prolong(x, nd):
     return x
 
 
+def _galerkin_coarsen_2d(coeffs, row_offsets, col_offsets):
+    """Exact Galerkin coarse stencil ``A_c = P^T A P`` for piecewise-
+    constant transfer (P = 2x2 block repeat, R = P^T = block sum).
+
+    ``coeffs``: numpy ``(ndiag, Mx, My)`` fine coefficient planes.  Fine
+    entry (i, i+d) with ``i = 2I + p`` lands at coarse offset
+    ``D = floor((p + d) / 2)`` per dim, position ``I`` — so each fine
+    plane scatters into the coarse planes by parity sub-sampling; no
+    per-entry work.  Returns ``(coarse_coeffs, coarse_row_offsets,
+    coarse_col_offsets)``; the fine boundary contract (zero coefficient
+    where the neighbor leaves the grid) is inherited exactly.
+    """
+    Mx, My = coeffs.shape[1:]
+    out = {}
+    for d, (dr, dc) in enumerate(zip(row_offsets, col_offsets)):
+        C = coeffs[d]
+        for px in (0, 1):
+            for py in (0, 1):
+                key = ((px + dr) // 2, (py + dc) // 2)
+                acc = out.get(key)
+                sub = C[px::2, py::2]
+                out[key] = sub if acc is None else acc + sub
+    keys = sorted(out)
+    cc = np.stack([out[k] for k in keys], axis=0)
+    return cc, tuple(k[0] for k in keys), tuple(k[1] for k in keys)
+
+
 @register_pytree_node_class
 class MultigridPreconditioner:
     """``z = M @ r`` runs one geometric V-cycle approximating ``A^{-1} r``.
 
-    * ``A`` — a :class:`ConstStencilOperator` (any rank >= 2 grid); each
+    * ``A`` — a :class:`ConstStencilOperator` (any rank >= 2 grid; each
       coarse level rediscretizes the same stencil weights on the halved
-      grid.
+      grid) **or** a variable-coefficient 2-D
+      :class:`~krylov_tpu.ops.stencil.GridStencilOperator` (each coarse
+      level is the exact Galerkin triple product ``P^T A P`` for the
+      block-repeat transfer, computed once on host — a 5-point fine
+      stencil becomes 9-point coarse stencils).
     * ``smooth`` — pre- and post-smoothing sweeps of weighted Jacobi.
     * ``omega`` — Jacobi damping (0.8 suits the 5/7-point Laplacian).
     * ``n_levels`` — cap on the hierarchy depth (default: halve while all
@@ -73,35 +106,89 @@ class MultigridPreconditioner:
 
     def __init__(self, A, smooth=2, omega=0.8, n_levels=None,
                  coarse_iters=40):
-        if not isinstance(A, ConstStencilOperator):
-            raise TypeError(
-                "MultigridPreconditioner needs a ConstStencilOperator "
-                "(variable-coefficient multigrid would need Galerkin "
-                "coarse operators)"
-            )
-        self._fine = A
+        from .ops.stencil import GridStencilOperator
+
         self.smooth = int(smooth)
         self.omega = float(omega)
         self.coarse_iters = int(coarse_iters)
+        self._cap = n_levels
+        self._coarse_inv = None
 
-        shapes = [A.shape_nd]
-        while _can_halve(shapes[-1]) and (
-            n_levels is None or len(shapes) < n_levels
-        ):
-            shapes.append(_halve_all(shapes[-1]))
-        self._ops = [A] + [
-            ConstStencilOperator(s, A.offsets_nd, A.weights, A.dtype)
-            for s in shapes[1:]
-        ]
-        center = [
-            w for off, w in zip(A.offsets_nd, A.weights)
-            if all(o == 0 for o in off)
-        ]
-        if not center or center[0] == 0.0:
-            raise ValueError("stencil needs a nonzero center weight")
-        self._diag = float(center[0])
-        d = len(A.shape_nd)
-        self._r_scale = 4.0 / (2 ** d)  # h_c^2/h^2 folded into block sum
+        if isinstance(A, ConstStencilOperator):
+            shapes = [A.shape_nd]
+            while _can_halve(shapes[-1]) and (
+                n_levels is None or len(shapes) < n_levels
+            ):
+                shapes.append(_halve_all(shapes[-1]))
+            ops = [A] + [
+                ConstStencilOperator(s, A.offsets_nd, A.weights, A.dtype)
+                for s in shapes[1:]
+            ]
+            center = [
+                w for off, w in zip(A.offsets_nd, A.weights)
+                if all(o == 0 for o in off)
+            ]
+            if not center or center[0] == 0.0:
+                raise ValueError("stencil needs a nonzero center weight")
+            winv = [
+                jnp.asarray(self.omega / center[0], A.dtype)
+            ] * len(ops)
+            self._nd_shapes = tuple(tuple(s) for s in shapes)
+            # rediscretized levels reuse the unit-spacing stencil, so the
+            # restriction carries the h_c^2/h^2 factor
+            self._r_scale = 4.0 / (2 ** len(A.shape_nd))
+        elif isinstance(A, GridStencilOperator):
+            if any(r not in (-1, 0, 1) for r in A.row_offsets) or any(
+                c not in (-1, 0, 1) for c in A.col_offsets
+            ):
+                raise ValueError(
+                    "Galerkin multigrid supports nearest-neighbor 2-D "
+                    f"stencils; got row/col offsets {A.row_offsets}/"
+                    f"{A.col_offsets} (3-D grid operators collapse x into "
+                    "grid rows — use AMGPreconditioner there)"
+                )
+            ops, winv, shapes = [A], [], [tuple(A.grid)]
+            cc = np.asarray(A.coeffs2d)
+            ro, co = A.row_offsets, A.col_offsets
+            while _can_halve(shapes[-1]) and (
+                n_levels is None or len(shapes) < n_levels
+            ):
+                cc, ro, co = _galerkin_coarsen_2d(cc, ro, co)
+                ny_c = cc.shape[2]
+                offs = tuple(
+                    r * ny_c + c for r, c in zip(ro, co)
+                )
+                ops.append(
+                    GridStencilOperator(
+                        jnp.asarray(cc), offs, ny_c, hermitian=A.hermitian
+                    )
+                )
+                shapes.append(tuple(cc.shape[1:]))
+            # per-level Jacobi weights from each level's own diagonal
+            for op in ops:
+                d = op.diagonal().reshape(op.grid)
+                winv.append(self.omega / jnp.where(d != 0, d, 1.0))
+            self._nd_shapes = tuple(shapes)
+            self._r_scale = 1.0  # Galerkin R = P^T: no rescaling
+            nc = shapes[-1][0] * shapes[-1][1]
+            if nc <= 4096:
+                # exact coarse solve as one dense matmul (also keeps the
+                # unrolled coarse-Jacobi chain out of the compiled graph)
+                dense = np.asarray(ops[-1].todense())
+                try:
+                    inv = np.linalg.inv(dense)
+                except np.linalg.LinAlgError:
+                    inv = np.linalg.pinv(dense)
+                self._coarse_inv = jnp.asarray(inv)
+        else:
+            raise TypeError(
+                "MultigridPreconditioner needs a ConstStencilOperator or "
+                "a 2-D GridStencilOperator (general sparsity: use "
+                "AMGPreconditioner)"
+            )
+        self._fine = ops[0]
+        self._ops = tuple(ops)
+        self._winv = tuple(winv)
 
     # -- observables ---------------------------------------------------
     @property
@@ -119,74 +206,85 @@ class MultigridPreconditioner:
     hermitian = True
 
     # -- grid transfer -------------------------------------------------
-    def _restrict(self, x):
+    def _restrict(self, x, nd):
         # x: shape_nd(+tail) -> halved spatial dims, scaled block sum
-        return _block_restrict(x, len(self._fine.shape_nd), self._r_scale)
+        return _block_restrict(x, nd, self._r_scale)
 
-    def _prolong(self, x):
-        return _block_prolong(x, len(self._fine.shape_nd))
+    def _prolong(self, x, nd):
+        return _block_prolong(x, nd)
 
     # -- smoothing -----------------------------------------------------
-    def _smooth(self, op, z, r, iters):
-        w = self.omega / self._diag
+    def _wmul(self, level, r):
+        w = self._winv[level]
+        return w.reshape(w.shape + (1,) * (r.ndim - w.ndim)) * r
+
+    def _smooth(self, level, z, r, iters):
         for _ in range(iters):
-            z = z + w * (r - self._apply(op, z))
+            z = z + self._wmul(level, r - self._apply(level, z))
         return z
 
-    def _apply(self, op, x_nd):
+    def _apply(self, level, x_nd):
         # op works on collapsed (M, ny)(+tail); x_nd is shape_nd(+tail)
-        nd = len(op.shape_nd)
+        op = self._ops[level]
+        nd = len(self._nd_shapes[level])
         tail = x_nd.shape[nd:]
         g = op.vector_shape
         y = op @ x_nd.reshape(g + tail)
-        return y.reshape(op.shape_nd + tail)
+        return y.reshape(x_nd.shape)
 
     # -- the cycle -----------------------------------------------------
     def _vcycle(self, level, r):
-        op = self._ops[level]
         if level == len(self._ops) - 1:
+            if self._coarse_inv is not None:
+                sh = self._nd_shapes[level]
+                nc = sh[0] * sh[1]
+                r2 = r.reshape((nc,) + r.shape[len(sh):])
+                z2 = jnp.tensordot(self._coarse_inv, r2, axes=1)
+                return z2.reshape(r.shape)
             z = jnp.zeros_like(r)
-            return self._smooth(op, z, r, self.coarse_iters)
-        w = self.omega / self._diag
-        z = w * r  # first Jacobi sweep from zero, no matvec needed
-        z = self._smooth(op, z, r, self.smooth - 1)
-        d = r - self._apply(op, z)
-        e = self._vcycle(level + 1, self._restrict(d))
-        z = z + self._prolong(e)
-        return self._smooth(op, z, r, self.smooth)
+            return self._smooth(level, z, r, self.coarse_iters)
+        nd = len(self._nd_shapes[level])
+        z = self._wmul(level, r)  # first sweep from zero, no matvec
+        z = self._smooth(level, z, r, self.smooth - 1)
+        d = r - self._apply(level, z)
+        e = self._vcycle(level + 1, self._restrict(d, nd))
+        z = z + self._prolong(e, nd)
+        return self._smooth(level, z, r, self.smooth)
 
     def __matmul__(self, r):
         A = self._fine
-        nd = len(A.shape_nd)
         g = A.vector_shape  # (M, ny)
         if r.ndim >= 2 and tuple(r.shape[:2]) == tuple(g):
             tail = r.shape[2:]
-            out_shape = r.shape
         else:  # flat (N,)(+tail)
             tail = r.shape[1:]
-            out_shape = r.shape
-        z = self._vcycle(0, r.reshape(A.shape_nd + tail))
-        return z.reshape(out_shape)
+        z = self._vcycle(0, r.reshape(self._nd_shapes[0] + tail))
+        return z.reshape(r.shape)
 
     matvec = __matmul__
 
     def rmatvec(self, x):
         return self @ x  # symmetric cycle
 
-    # -- pytree (all-static: weights/shapes/knobs carry no arrays) -----
+    # -- pytree (level operators and Jacobi weights are the children;
+    #    Galerkin coefficient planes ride inside the operator pytrees) --
     def tree_flatten(self):
-        return (), (
-            self._fine.shape_nd, self._fine.offsets_nd, self._fine.weights,
-            self._fine.dtype.str, self.smooth, self.omega,
-            len(self._ops), self.coarse_iters,
+        return (self._ops, self._winv, self._coarse_inv), (
+            self.smooth, self.omega, self.coarse_iters,
+            self._nd_shapes, self._r_scale,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        shape_nd, offsets_nd, weights, dtype, smooth, omega, nlev, ci = aux
-        A = ConstStencilOperator(shape_nd, offsets_nd, weights, dtype)
-        return cls(A, smooth=smooth, omega=omega, n_levels=nlev,
-                   coarse_iters=ci)
+        smooth, omega, coarse_iters, nd_shapes, r_scale = aux
+        self = object.__new__(cls)
+        self._ops, self._winv, self._coarse_inv = children
+        self._fine = self._ops[0]
+        self.smooth, self.omega = smooth, omega
+        self.coarse_iters = coarse_iters
+        self._cap = None
+        self._nd_shapes, self._r_scale = nd_shapes, r_scale
+        return self
 
 
 @register_pytree_node_class
@@ -400,8 +498,10 @@ def multigrid_factory(smooth=2, omega=0.8, n_levels=None, coarse_iters=40,
         if not isinstance(A_l, ShardedConstStencilOperator):
             raise TypeError(
                 "multigrid_factory needs a (Sharded)ConstStencilOperator; "
-                f"got {type(A_l).__name__} (variable-coefficient multigrid "
-                "would need Galerkin coarse operators)"
+                f"got {type(A_l).__name__} (single-device variable-"
+                "coefficient grids: MultigridPreconditioner builds "
+                "Galerkin coarse levels; general sparsity: "
+                "AMGPreconditioner)"
             )
         g = A_l._op
         m_local = A_l.m_local
@@ -479,9 +579,9 @@ class _ShardLocalMG:
         return self @ x
 
     def tree_flatten(self):
-        return (), (self._mg, self.m_local, self.axis, self.m_valid)
+        return (self._mg,), (self.m_local, self.axis, self.m_valid)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        mg, m_local, axis, m_valid = aux
-        return cls(mg, m_local, axis, m_valid)
+        m_local, axis, m_valid = aux
+        return cls(children[0], m_local, axis, m_valid)
