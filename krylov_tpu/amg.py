@@ -168,18 +168,23 @@ class AMGPreconditioner:
     Accepts 1-D and blocked ``(N, k)`` right-hand sides.
     """
 
-    def __init__(self, ops, prolongs, dinvs, coarse_inv, smooth, omega):
+    def __init__(self, ops, prolongs, dinvs, coarse_inv, smooth, omega,
+                 smoother="jacobi", lmaxs=()):
         self._ops = tuple(ops)
         self._prolongs = tuple(prolongs)
         self._dinvs = tuple(dinvs)
         self._coarse_inv = coarse_inv
         self.smooth = int(smooth)
         self.omega = float(omega)
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother {smoother!r}")
+        self.smoother = smoother
+        self._lmaxs = tuple(float(v) for v in lmaxs)
 
     @classmethod
     def from_scipy(cls, A, *, theta=0.08, smooth=2, omega=2.0 / 3.0,
                    coarse_size=400, max_levels=12, dtype=None,
-                   smooth_prolongator=True):
+                   smooth_prolongator=True, smoother="jacobi"):
         """Build the hierarchy from a scipy sparse (or dense) SPD matrix.
 
         * ``theta`` — strength threshold on the normalized coupling
@@ -193,6 +198,12 @@ class AMGPreconditioner:
         * ``smooth_prolongator`` — apply the one-pass Jacobi prolongator
           smoothing of classic SA; turning it off gives plain (pairwise)
           aggregation with sparser coarse levels but more iterations.
+        * ``smoother`` — ``"jacobi"`` (``smooth`` damped sweeps) or
+          ``"chebyshev"`` (a degree-``smooth+1`` Chebyshev polynomial in
+          ``D⁻¹A`` targeting the upper spectrum ``[λmax/30, λmax]`` —
+          one extra matvec per application, no inner products, and
+          typically a third fewer outer iterations; the TPU-preferred
+          smoother).
         """
         import scipy.sparse
 
@@ -204,8 +215,25 @@ class AMGPreconditioner:
         if dtype is not None:
             A = A.astype(dtype)
 
+        def lmax_dinv_a(Al):
+            """λmax(D⁻¹A) by a short power iteration (host)."""
+            d = Al.diagonal()
+            d = np.where(d != 0, d, 1.0)
+            Dinv_A = scipy.sparse.diags(1.0 / d) @ Al
+            x = np.random.default_rng(0).standard_normal(Al.shape[0])
+            x /= np.linalg.norm(x)
+            lmax = 1.0
+            for _ in range(12):
+                y = Dinv_A @ x
+                lmax = float(np.linalg.norm(y))
+                if lmax == 0.0:
+                    return 1.0, Dinv_A
+                x = y / lmax
+            return lmax, Dinv_A
+
         levels = [A]
         prolongs = []
+        lmaxs = []
         while (
             levels[-1].shape[0] > coarse_size
             and len(levels) < max_levels
@@ -219,27 +247,20 @@ class AMGPreconditioner:
                  (np.arange(Al.shape[0]), labels)),
                 shape=(Al.shape[0], n_agg),
             )
+            need_lmax = smooth_prolongator or smoother == "chebyshev"
+            if need_lmax:
+                lmax, Dinv_A = lmax_dinv_a(Al)
+                lmaxs.append(lmax)
             if smooth_prolongator:
-                d = Al.diagonal()
-                d = np.where(d != 0, d, 1.0)
-                Dinv_A = scipy.sparse.diags(1.0 / d) @ Al
-                # w = 4/(3 lmax(D^-1 A)), lmax by a short power iteration
-                x = np.random.default_rng(0).standard_normal(Al.shape[0])
-                x /= np.linalg.norm(x)
-                lmax = 1.0
-                for _ in range(12):
-                    y = Dinv_A @ x
-                    lmax = float(np.linalg.norm(y))
-                    if lmax == 0.0:
-                        lmax = 1.0
-                        break
-                    x = y / lmax
+                # w = 4/(3 lmax): the classic SA prolongator smoother
                 P = (P - (4.0 / (3.0 * lmax)) * (Dinv_A @ P)).tocsr()
             Ac = (P.conj().T @ Al @ P).tocsr()
             if dtype is not None:
                 P, Ac = P.astype(dtype), Ac.astype(dtype)
             prolongs.append(P)
             levels.append(Ac)
+        if smoother == "chebyshev" and len(lmaxs) < len(levels) - 1:
+            lmaxs = [lmax_dinv_a(m)[0] for m in levels[:-1]]
 
         ops = [_device_sparse(m) for m in levels[:-1]]
         P_ops = [_device_sparse(p, prefer_pet_rect=True) for p in prolongs]
@@ -251,7 +272,8 @@ class AMGPreconditioner:
         coarse_inv = jnp.asarray(
             np.linalg.inv(levels[-1].toarray())
         )
-        return cls(ops, P_ops, dinvs, coarse_inv, smooth, omega)
+        return cls(ops, P_ops, dinvs, coarse_inv, smooth, omega,
+                   smoother=smoother, lmaxs=lmaxs[: len(ops)])
 
     # -- observables ----------------------------------------------------
     @property
@@ -277,24 +299,56 @@ class AMGPreconditioner:
     hermitian = True
 
     # -- the cycle -------------------------------------------------------
-    def _jacobi(self, level, z, r, iters):
+    def _dinv_mul(self, level, v):
+        d = self._dinvs[level]
+        return d.reshape(d.shape + (1,) * (v.ndim - 1)) * v
+
+    def _jacobi(self, level, z, r, iters, from_zero=False):
         A = self._ops[level]
-        w_dinv = self.omega * self._dinvs[level]
-        w_dinv = w_dinv.reshape(w_dinv.shape + (1,) * (r.ndim - 1))
+        if from_zero:
+            z = self.omega * self._dinv_mul(level, r)
+            iters -= 1
         for _ in range(iters):
-            z = z + w_dinv * (r - A @ z)
+            z = z + self.omega * self._dinv_mul(level, r - A @ z)
         return z
+
+    def _chebyshev(self, level, z, r, from_zero=False):
+        """Degree-(smooth+1) Chebyshev polynomial in D⁻¹A over the upper
+        spectrum [λmax/30, λmax]: one matvec per degree, no inner
+        products (the classic multigrid smoother of Adams et al. 2003).
+        """
+        A = self._ops[level]
+        lmax = 1.1 * self._lmaxs[level]  # safety margin on the estimate
+        lmin = lmax / 30.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        res = self._dinv_mul(level, r if from_zero else r - A @ z)
+        if from_zero:
+            z = jnp.zeros_like(r)
+        d = res / theta
+        for _ in range(self.smooth):
+            z = z + d
+            res = res - self._dinv_mul(level, A @ d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * res
+            rho = rho_new
+        return z + d
+
+    def _smooth_level(self, level, z, r, from_zero=False):
+        if self.smoother == "chebyshev":
+            return self._chebyshev(level, z, r, from_zero=from_zero)
+        return self._jacobi(level, z, r, self.smooth, from_zero=from_zero)
 
     def _vcycle(self, level, r):
         if level == len(self._ops):
             return jnp.tensordot(self._coarse_inv, r, axes=1)
-        w_dinv = self.omega * self._dinvs[level]
-        z = w_dinv.reshape(w_dinv.shape + (1,) * (r.ndim - 1)) * r
-        z = self._jacobi(level, z, r, self.smooth - 1)
+        z = self._smooth_level(level, None, r, from_zero=True)
         d = r - self._ops[level] @ z
         e = self._vcycle(level + 1, self._prolongs[level].rmatvec(d))
         z = z + self._prolongs[level] @ e
-        return self._jacobi(level, z, r, self.smooth)
+        return self._smooth_level(level, z, r)
 
     def __matmul__(self, r):
         return self._vcycle(0, r)
@@ -308,10 +362,12 @@ class AMGPreconditioner:
     def tree_flatten(self):
         return (
             (self._ops, self._prolongs, self._dinvs, self._coarse_inv),
-            (self.smooth, self.omega),
+            (self.smooth, self.omega, self.smoother, self._lmaxs),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         ops, prolongs, dinvs, coarse_inv = children
-        return cls(ops, prolongs, dinvs, coarse_inv, *aux)
+        smooth, omega, smoother, lmaxs = aux
+        return cls(ops, prolongs, dinvs, coarse_inv, smooth, omega,
+                   smoother=smoother, lmaxs=lmaxs)

@@ -148,6 +148,37 @@ def test_amg_setup_guards():
     assert info.success
 
 
+def test_amg_chebyshev_smoother():
+    """smoother="chebyshev": a degree-(smooth+1) polynomial in D⁻¹A —
+    no inner products, and fewer outer iterations on hard problems;
+    the cycle stays symmetric (CG-compatible) and compiled == eager."""
+    n = 64
+    A = poisson2d_csr(n)
+    d = np.exp(3 * np.random.default_rng(4).standard_normal(n * n))
+    Dh = scipy.sparse.diags(np.sqrt(d))
+    Aj = (Dh @ A @ Dh).tocsr()
+    b = jnp.asarray(RNG.standard_normal(n * n))
+
+    Mj = AMGPreconditioner.from_scipy(Aj, smoother="jacobi")
+    Mc = AMGPreconditioner.from_scipy(Aj, smoother="chebyshev")
+    _, ij = krylov.cg(Aj, b, M=Mj, tol=1e-8, maxiter=400)
+    _, ic = krylov.cg(Aj, b, M=Mc, tol=1e-8, maxiter=400)
+    assert ic.success and ic.numsteps <= ij.numsteps
+
+    _, iw = krylov.cg(Aj, b, M=Mc, tol=1e-8, maxiter=400,
+                      backend="while_loop")
+    assert iw.numsteps == ic.numsteps
+
+    u = jnp.asarray(RNG.standard_normal(n * n))
+    v = jnp.asarray(RNG.standard_normal(n * n))
+    a = float(jnp.vdot(u, Mc @ v))
+    c = float(jnp.vdot(Mc @ u, v))
+    assert abs(a - c) <= 1e-10 * max(abs(a), abs(c))
+
+    with pytest.raises(ValueError, match="smoother"):
+        AMGPreconditioner.from_scipy(A, smoother="sor")
+
+
 def test_amg_unsmoothed_prolongator_option():
     A = poisson2d_csr(64)
     M = AMGPreconditioner.from_scipy(A, smooth_prolongator=False)
