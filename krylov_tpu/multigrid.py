@@ -26,6 +26,7 @@ block sum, keeping the cycle symmetric enough for CG in practice.
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.tree_util import register_pytree_node_class
@@ -68,7 +69,6 @@ def _galerkin_coarsen_2d(coeffs, row_offsets, col_offsets):
     coarse_col_offsets)``; the fine boundary contract (zero coefficient
     where the neighbor leaves the grid) is inherited exactly.
     """
-    Mx, My = coeffs.shape[1:]
     out = {}
     for d, (dr, dc) in enumerate(zip(row_offsets, col_offsets)):
         C = coeffs[d]
@@ -79,7 +79,8 @@ def _galerkin_coarsen_2d(coeffs, row_offsets, col_offsets):
                 sub = C[px::2, py::2]
                 out[key] = sub if acc is None else acc + sub
     keys = sorted(out)
-    cc = np.stack([out[k] for k in keys], axis=0)
+    stack = np.stack if isinstance(coeffs, np.ndarray) else jnp.stack
+    cc = stack([out[k] for k in keys], axis=0)
     return cc, tuple(k[0] for k in keys), tuple(k[1] for k in keys)
 
 
@@ -460,6 +461,236 @@ class ShardedMultigridPreconditioner:
                    coarse_iters=ci)
 
 
+@register_pytree_node_class
+class ShardedGalerkinMultigrid:
+    """Distributed Galerkin V-cycle over a row-sharded VARIABLE-
+    coefficient 2-D grid stencil (built inside ``shard_map`` by
+    :func:`multigrid_factory`).
+
+    The variable twin of :class:`ShardedMultigridPreconditioner`: every
+    level's smoother is the halo-exchanging
+    :class:`~krylov_tpu.parallel.grid.ShardedGridStencilOperator` matvec
+    (one ``ppermute`` pair per damped-Jacobi sweep, zero allreduces),
+    and — the part the constant case never needed — each coarse level's
+    COEFFICIENTS are computed shard-locally as the exact Galerkin
+    product ``PᵀAP`` by parity sub-sampling the local coefficient slab
+    (valid because an even local row count keeps global and local
+    parities equal, and each fine coefficient lives with its row, so no
+    coefficient communication is needed; cross-shard couplings simply
+    become coarse stencil entries served by the coarse halo exchange).
+    All of this happens at trace time inside the one compiled SPMD
+    program — the coarsening is loop-invariant, so XLA hoists it out of
+    the solver's ``while_loop`` and it runs once per solve.
+
+    The coarsest level runs ``coarse_iters`` damped-Jacobi sweeps with
+    the halo matvec (no gather; the grid there is a few rows per shard).
+    """
+
+    def __init__(self, A_l, smooth=2, omega=0.8, n_levels=None,
+                 coarse_iters=40):
+        from .parallel.grid import ShardedGridStencilOperator
+
+        if not isinstance(A_l, ShardedGridStencilOperator):
+            raise TypeError(
+                "ShardedGalerkinMultigrid needs a ShardedGridStencilOperator"
+            )
+        if not A_l.hermitian:
+            raise ValueError(
+                "multigrid preconditioning needs a hermitian (SPD) operator"
+            )
+        lop = A_l._local
+        if any(r not in (-1, 0, 1) for r in lop.row_offsets) or any(
+            c not in (-1, 0, 1) for c in lop.col_offsets
+        ):
+            raise ValueError(
+                "Galerkin multigrid supports nearest-neighbor 2-D "
+                f"stencils; got row/col offsets {lop.row_offsets}/"
+                f"{lop.col_offsets}"
+            )
+        self.axis = A_l.axis
+        self.smooth = int(smooth)
+        self.omega = float(omega)
+        self.coarse_iters = int(coarse_iters)
+
+        cc = lop.coeffs2d
+        ro, co = lop.row_offsets, lop.col_offsets
+        coeffs, offs_pairs = [cc], [(ro, co)]
+        while (
+            coeffs[-1].shape[1] % 2 == 0  # local rows halve cleanly
+            and coeffs[-1].shape[1] >= 2
+            and coeffs[-1].shape[2] % 2 == 0
+            and coeffs[-1].shape[2] // 2 >= 4
+            and (n_levels is None or len(coeffs) < n_levels)
+        ):
+            cc, ro, co = _galerkin_coarsen_2d(cc, ro, co)
+            coeffs.append(cc)
+            offs_pairs.append((ro, co))
+        self._coeffs = tuple(coeffs)
+        self._offs = tuple(offs_pairs)
+
+        def make_winv(cc, ro, co):
+            ctr = list(zip(ro, co)).index((0, 0))
+            d = cc[ctr]
+            return self.omega / jnp.where(d != 0, d, 1.0)
+
+        self._winv = tuple(
+            make_winv(cc, ro, co)
+            for cc, (ro, co) in zip(coeffs, offs_pairs)
+        )
+
+        # gathered redundant tail: when the shard-local slab can no
+        # longer halve, every shard all_gathers the (tiny) coarse
+        # coefficient planes, keeps coarsening the GLOBAL problem
+        # redundantly, and bottoms out in a dense inverse — all traced
+        # once here and hoisted out of the solver's while_loop.
+        n_sh = lax.axis_size(self.axis)
+        m_loc_c, ny_c = coeffs[-1].shape[1], coeffs[-1].shape[2]
+        self._tail_coeffs = ()
+        self._tail_offs = ()
+        self._tail_winv = ()
+        self._tail_inv = None
+        if m_loc_c * n_sh * ny_c <= 65536:
+            cg = lax.all_gather(coeffs[-1], self.axis, axis=1, tiled=True)
+            ro, co = offs_pairs[-1]
+            t_c, t_o = [cg], [(ro, co)]
+            while (
+                t_c[-1].shape[1] * t_c[-1].shape[2] > 256
+                and t_c[-1].shape[1] % 2 == 0
+                and t_c[-1].shape[1] // 2 >= 1
+                and t_c[-1].shape[2] % 2 == 0
+                and t_c[-1].shape[2] // 2 >= 4
+            ):
+                cg, ro, co = _galerkin_coarsen_2d(cg, ro, co)
+                t_c.append(cg)
+                t_o.append((ro, co))
+            self._tail_coeffs = tuple(t_c)
+            self._tail_offs = tuple(t_o)
+            self._tail_winv = tuple(
+                make_winv(cc, ro, co) for cc, (ro, co) in zip(t_c, t_o)
+            )
+            bottom = t_c[-1]
+            if bottom.shape[1] * bottom.shape[2] <= 4096:
+                dense = self._plain_op(bottom, t_o[-1]).todense()
+                self._tail_inv = jnp.linalg.inv(dense)
+
+    @property
+    def dtype(self):
+        return self._coeffs[0].dtype
+
+    @property
+    def n_levels(self):
+        return len(self._coeffs)
+
+    hermitian = True
+
+    @staticmethod
+    def _plain_op(cc, ro_co):
+        from .ops.stencil import GridStencilOperator
+
+        ro, co = ro_co
+        ny = cc.shape[2]
+        offs = tuple(r * ny + c for r, c in zip(ro, co))
+        return GridStencilOperator(cc, offs, ny, hermitian=True)
+
+    def _op(self, level):
+        from .parallel.grid import ShardedGridStencilOperator
+
+        cc = self._coeffs[level]
+        ro, co = self._offs[level]
+        ny = cc.shape[2]
+        offs = tuple(r * ny + c for r, c in zip(ro, co))
+        return ShardedGridStencilOperator(
+            cc, offs, ny, axis=self.axis, hermitian=True
+        )
+
+    @staticmethod
+    def _bcast(w, r):
+        return w.reshape(w.shape + (1,) * (r.ndim - w.ndim)) * r
+
+    def _wmul(self, level, r):
+        return self._bcast(self._winv[level], r)
+
+    def _smooth(self, level, z, r, iters):
+        op = self._op(level)
+        for _ in range(iters):
+            z = z + self._wmul(level, r - op @ z)
+        return z
+
+    # -- gathered redundant tail (plain, no halo exchange) ---------------
+    def _tail_apply(self, level, x):
+        op = self._plain_op(self._tail_coeffs[level], self._tail_offs[level])
+        if x.ndim == 3:
+            return jax.vmap(op._apply_grid, in_axes=2, out_axes=2)(x)
+        return op._apply_grid(x)
+
+    def _tail_vcycle(self, level, r):
+        w = self._tail_winv[level]
+        last = level == len(self._tail_coeffs) - 1
+        if last and self._tail_inv is not None:
+            sh = r.shape
+            nc = sh[0] * sh[1]
+            z2 = jnp.tensordot(
+                self._tail_inv, r.reshape((nc,) + sh[2:]), axes=1
+            )
+            return z2.reshape(sh)
+        z = self._bcast(w, r)
+        iters = self.coarse_iters - 1 if last else self.smooth - 1
+        for _ in range(iters):
+            z = z + self._bcast(w, r - self._tail_apply(level, z))
+        if last:
+            return z
+        d = r - self._tail_apply(level, z)
+        e = self._tail_vcycle(level + 1, _block_restrict(d, 2, 1.0))
+        z = z + _block_prolong(e, 2)
+        for _ in range(self.smooth):
+            z = z + self._bcast(w, r - self._tail_apply(level, z))
+        return z
+
+    def _vcycle(self, level, r):
+        if level == len(self._coeffs) - 1:
+            if self._tail_coeffs:
+                rg = lax.all_gather(r, self.axis, axis=0, tiled=True)
+                zg = self._tail_vcycle(0, rg)
+                m_loc = r.shape[0]
+                row0 = lax.axis_index(self.axis) * m_loc
+                return lax.dynamic_slice_in_dim(zg, row0, m_loc, axis=0)
+            z = self._wmul(level, r)
+            return self._smooth(level, z, r, self.coarse_iters - 1)
+        z = self._wmul(level, r)  # first sweep from zero, no matvec
+        z = self._smooth(level, z, r, self.smooth - 1)
+        d = r - self._op(level) @ z
+        e = self._vcycle(level + 1, _block_restrict(d, 2, 1.0))
+        z = z + _block_prolong(e, 2)
+        return self._smooth(level, z, r, self.smooth)
+
+    def __matmul__(self, r):
+        return self._vcycle(0, r)
+
+    matvec = __matmul__
+
+    def rmatvec(self, x):
+        return self @ x  # symmetric cycle
+
+    def tree_flatten(self):
+        return (
+            (self._coeffs, self._winv, self._tail_coeffs,
+             self._tail_winv, self._tail_inv),
+            (self._offs, self._tail_offs, self.axis, self.smooth,
+             self.omega, self.coarse_iters),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        offs, t_offs, axis, smooth, omega, ci = aux
+        self = object.__new__(cls)
+        (self._coeffs, self._winv, self._tail_coeffs,
+         self._tail_winv, self._tail_inv) = children
+        self._offs, self._tail_offs = offs, t_offs
+        self.axis, self.smooth = axis, smooth
+        self.omega, self.coarse_iters = omega, ci
+        return self
+
+
 def multigrid_factory(smooth=2, omega=0.8, n_levels=None, coarse_iters=40,
                       coupling="auto"):
     """``M_factory`` for :func:`~krylov_tpu.parallel.sharded_solve`:
@@ -492,15 +723,31 @@ def multigrid_factory(smooth=2, omega=0.8, n_levels=None, coarse_iters=40,
                 A_l, smooth=smooth, omega=omega, n_levels=n_levels,
                 coarse_iters=coarse_iters,
             )
-        # sharded const-stencil slab (lazy import: parallel -> ops only)
-        from .parallel.grid import ShardedConstStencilOperator
+        # sharded stencil slabs (lazy import: parallel -> ops only)
+        from .parallel.grid import (
+            ShardedConstStencilOperator,
+            ShardedGridStencilOperator,
+        )
 
+        if isinstance(A_l, ShardedGridStencilOperator):
+            # variable coefficients: distributed Galerkin cycle (the
+            # shard-local Schwarz variant would need host-side setup,
+            # which is unavailable inside the traced factory)
+            if coupling == "local":
+                raise ValueError(
+                    "coupling='local' needs host-side subdomain setup, "
+                    "which variable-coefficient slabs cannot do inside "
+                    "shard_map; use coupling='full' (the default route)"
+                )
+            return ShardedGalerkinMultigrid(
+                A_l, smooth=smooth, omega=omega, n_levels=n_levels,
+                coarse_iters=coarse_iters,
+            )
         if not isinstance(A_l, ShardedConstStencilOperator):
             raise TypeError(
-                "multigrid_factory needs a (Sharded)ConstStencilOperator; "
-                f"got {type(A_l).__name__} (single-device variable-"
-                "coefficient grids: MultigridPreconditioner builds "
-                "Galerkin coarse levels; general sparsity: "
+                "multigrid_factory needs a (Sharded)ConstStencilOperator "
+                "or ShardedGridStencilOperator; got "
+                f"{type(A_l).__name__} (general sparsity: "
                 "AMGPreconditioner)"
             )
         g = A_l._op

@@ -102,15 +102,21 @@ def test_mg_symmetric_enough_for_cg():
 
 
 def _var_diffusion(nx, ny, a):
-    """SPD 5-point FV discretization of -div(a grad u), Dirichlet."""
-    ax = 0.5 * (a[1:, :] + a[:-1, :])
-    ay = 0.5 * (a[:, 1:] + a[:, :-1])
+    """SPD 5-point FV discretization of -div(a grad u) with Dirichlet
+    walls: the center includes the boundary-face links, so the matrix is
+    honestly positive definite (not a shifted Neumann operator)."""
+    axf = np.zeros((nx + 1, ny))
+    axf[1:nx] = 0.5 * (a[1:, :] + a[:-1, :])
+    axf[0], axf[nx] = a[0, :], a[-1, :]
+    ayf = np.zeros((nx, ny + 1))
+    ayf[:, 1:ny] = 0.5 * (a[:, 1:] + a[:, :-1])
+    ayf[:, 0], ayf[:, ny] = a[:, 0], a[:, -1]
     c = np.zeros((5, nx, ny))
-    c[0, 1:, :] = -ax
-    c[4, :-1, :] = -ax
-    c[1, :, 1:] = -ay
-    c[3, :, :-1] = -ay
-    c[2] = -(c[0] + c[1] + c[3] + c[4]) + 1e-8
+    c[0, 1:, :] = -axf[1:nx]
+    c[4, :-1, :] = -axf[1:nx]
+    c[1, :, 1:] = -ayf[:, 1:ny]
+    c[3, :, :-1] = -ayf[:, 1:ny]
+    c[2] = axf[:-1] + axf[1:] + ayf[:, :-1] + ayf[:, 1:]
     return stencil.GridStencilOperator(
         jnp.asarray(c), (-ny, -1, 0, 1, ny), ny, hermitian=True
     )

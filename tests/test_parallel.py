@@ -743,6 +743,88 @@ def test_sharded_multigrid_local_coupling_and_3d():
     assert np.linalg.norm(R3) <= 1e-7 * (1 + np.linalg.norm(np.asarray(B3)))
 
 
+def _var_diffusion(nx, ny, a):
+    """SPD 5-point FV discretization of -div(a grad u), Dirichlet walls
+    (center includes the boundary-face links)."""
+    axf = np.zeros((nx + 1, ny))
+    axf[1:nx] = 0.5 * (a[1:, :] + a[:-1, :])
+    axf[0], axf[nx] = a[0, :], a[-1, :]
+    ayf = np.zeros((nx, ny + 1))
+    ayf[:, 1:ny] = 0.5 * (a[:, 1:] + a[:, :-1])
+    ayf[:, 0], ayf[:, ny] = a[:, 0], a[:, -1]
+    c = np.zeros((5, nx, ny))
+    c[0, 1:, :] = -axf[1:nx]
+    c[4, :-1, :] = -axf[1:nx]
+    c[1, :, 1:] = -ayf[:, 1:ny]
+    c[3, :, :-1] = -ayf[:, 1:ny]
+    c[2] = axf[:-1] + axf[1:] + ayf[:, :-1] + ayf[:, 1:]
+    return stencil.GridStencilOperator(
+        jnp.asarray(c), (-ny, -1, 0, 1, ny), ny, hermitian=True
+    )
+
+
+def test_sharded_galerkin_multigrid_variable_coefficients():
+    """Variable-coefficient grids get the distributed Galerkin cycle:
+    coarse coefficients are computed SHARD-LOCALLY by parity
+    sub-sampling (exact P^T A P — even local row counts keep global and
+    local parities equal), smoothers halo-exchange at every level, and
+    the coarsest gathered problem keeps coarsening redundantly down to
+    a dense inverse."""
+    rng = np.random.default_rng(95)
+    nx = ny = 128
+    X, Y = np.meshgrid(
+        np.linspace(0, 1, nx), np.linspace(0, 1, ny), indexing="ij"
+    )
+    a = 1.0 + 0.9 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
+    A = _var_diffusion(nx, ny, a)
+    b = jnp.asarray(rng.standard_normal((nx, ny)))
+
+    from krylov_tpu import multigrid_factory
+
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(),
+        M_factory=multigrid_factory(), tol=1e-9, maxiter=400,
+    )
+    assert info.success and info.numsteps <= 40
+    r = np.asarray(b) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+
+    _, info_n = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(), tol=1e-9, maxiter=4000,
+    )
+    assert info.numsteps * 10 <= info_n.numsteps
+
+
+def test_sharded_galerkin_multigrid_padded_and_multirhs():
+    """Prime grid-row counts ride the unit-diagonal padding (identity
+    rows mix into coarse cells but the padded system is block-diagonal,
+    so the cycle stays SPD); blocked RHS columns ride the same cycle."""
+    rng = np.random.default_rng(96)
+    A = _var_diffusion(
+        67, 32,
+        1.0 + 0.5 * np.abs(np.sin(3 * np.linspace(0, 1, 67)))[:, None]
+        * np.ones(32),
+    )
+    B = jnp.asarray(rng.standard_normal((67, 32, 2)))
+
+    from krylov_tpu import multigrid_factory
+
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, B, mesh=_mesh(),
+        M_factory=multigrid_factory(), tol=1e-9, maxiter=400,
+    )
+    assert info.success
+    R = np.asarray(B) - np.asarray(A @ jnp.asarray(sol))
+    assert np.linalg.norm(R) <= 1e-7 * (1 + np.linalg.norm(np.asarray(B)))
+
+    with pytest.raises(ValueError, match="local"):
+        parallel.sharded_solve(
+            krylov_tpu.cg, A, B[:, :, 0], mesh=_mesh(),
+            M_factory=multigrid_factory(coupling="local"),
+            tol=1e-9, maxiter=10,
+        )
+
+
 def test_sharded_multigrid_padded_falls_back_to_local():
     """Prime grid-row count: zero-padding breaks cross-shard coarsening,
     so auto coupling degrades to the shard-local cycle (masked at padded
