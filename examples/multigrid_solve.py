@@ -10,6 +10,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
+import jax
+
+jax.config.update("jax_enable_x64", True)  # tol=1e-8 needs f64
+
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse
@@ -38,21 +42,7 @@ def main():
     X, Y = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n),
                        indexing="ij")
     a = 1.0 + 0.9 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
-    axf = np.zeros((n + 1, n))
-    axf[1:n] = 0.5 * (a[1:, :] + a[:-1, :])
-    axf[0], axf[n] = a[0, :], a[-1, :]
-    ayf = np.zeros((n, n + 1))
-    ayf[:, 1:n] = 0.5 * (a[:, 1:] + a[:, :-1])
-    ayf[:, 0], ayf[:, n] = a[:, 0], a[:, -1]
-    c = np.zeros((5, n, n))
-    c[0, 1:, :] = -axf[1:n]
-    c[4, :-1, :] = -axf[1:n]
-    c[1, :, 1:] = -ayf[:, 1:n]
-    c[3, :, :-1] = -ayf[:, 1:n]
-    c[2] = axf[:-1] + axf[1:] + ayf[:, :-1] + ayf[:, 1:]
-    Av = stencil.GridStencilOperator(
-        jnp.asarray(c), (-n, -1, 0, 1, n), n, hermitian=True
-    )
+    Av = stencil.diffusion_2d(a)
     Mv = MultigridPreconditioner(Av)
     _, iv = krylov.cg(Av, b, M=Mv, inner=INNER, tol=1e-8, maxiter=2000)
     print(f"Galerkin MG-CG (variable coefficients): {iv.numsteps} iters")

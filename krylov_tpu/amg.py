@@ -169,17 +169,27 @@ class AMGPreconditioner:
     """
 
     def __init__(self, ops, prolongs, dinvs, coarse_inv, smooth, omega,
-                 smoother="jacobi", lmaxs=()):
+                 smoother="jacobi", lmaxs=(), coarse_op=None,
+                 coarse_dinv=None):
         self._ops = tuple(ops)
         self._prolongs = tuple(prolongs)
         self._dinvs = tuple(dinvs)
         self._coarse_inv = coarse_inv
+        self._coarse_op = coarse_op
+        self._coarse_dinv = coarse_dinv
         self.smooth = int(smooth)
         self.omega = float(omega)
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
         self._lmaxs = tuple(float(v) for v in lmaxs)
+        # convergent damped Jacobi needs w * lmax(D^-1 A) < 2; the user
+        # omega is calibrated for lmax ~ 2 (M-matrices), so rescale the
+        # per-level weight when a level's spectrum reaches higher
+        self._jw = tuple(
+            self.omega if lm <= 2.0 else self.omega * 2.0 / lm
+            for lm in self._lmaxs
+        ) or (self.omega,) * len(self._ops)
 
     @classmethod
     def from_scipy(cls, A, *, theta=0.08, smooth=2, omega=2.0 / 3.0,
@@ -247,10 +257,8 @@ class AMGPreconditioner:
                  (np.arange(Al.shape[0]), labels)),
                 shape=(Al.shape[0], n_agg),
             )
-            need_lmax = smooth_prolongator or smoother == "chebyshev"
-            if need_lmax:
-                lmax, Dinv_A = lmax_dinv_a(Al)
-                lmaxs.append(lmax)
+            lmax, Dinv_A = lmax_dinv_a(Al)
+            lmaxs.append(lmax)
             if smooth_prolongator:
                 # w = 4/(3 lmax): the classic SA prolongator smoother
                 P = (P - (4.0 / (3.0 * lmax)) * (Dinv_A @ P)).tocsr()
@@ -259,8 +267,6 @@ class AMGPreconditioner:
                 P, Ac = P.astype(dtype), Ac.astype(dtype)
             prolongs.append(P)
             levels.append(Ac)
-        if smoother == "chebyshev" and len(lmaxs) < len(levels) - 1:
-            lmaxs = [lmax_dinv_a(m)[0] for m in levels[:-1]]
 
         ops = [_device_sparse(m) for m in levels[:-1]]
         P_ops = [_device_sparse(p, prefer_pet_rect=True) for p in prolongs]
@@ -269,22 +275,50 @@ class AMGPreconditioner:
             d = m.diagonal()
             d = np.where(d != 0, d, 1.0)
             dinvs.append(jnp.asarray(1.0 / d))
-        coarse_inv = jnp.asarray(
-            np.linalg.inv(levels[-1].toarray())
-        )
+        n_last = levels[-1].shape[0]
+        if n_last <= max(coarse_size, 4096):
+            coarse_inv = jnp.asarray(np.linalg.inv(levels[-1].toarray()))
+            coarse_op = None
+            coarse_dinv = None
+        else:
+            # coarsening stalled while the level is still too large to
+            # densify (e.g. diagonally dominant matrices with an empty
+            # strength graph): fall back to damped-Jacobi sweeps — on
+            # exactly such matrices Jacobi is a near-exact solver
+            coarse_inv = None
+            coarse_op = _device_sparse(levels[-1])
+            d = levels[-1].diagonal()
+            d = np.where(d != 0, d, 1.0)
+            lmax_c = lmax_dinv_a(levels[-1])[0]
+            # fold the convergence-safe Jacobi weight into the vector:
+            # the coarse fallback is only ever used by Jacobi sweeps
+            scale = omega if lmax_c <= 2.0 else omega * 2.0 / lmax_c
+            coarse_dinv = jnp.asarray(scale / d)
         return cls(ops, P_ops, dinvs, coarse_inv, smooth, omega,
-                   smoother=smoother, lmaxs=lmaxs[: len(ops)])
+                   smoother=smoother, lmaxs=lmaxs[: len(ops)],
+                   coarse_op=coarse_op, coarse_dinv=coarse_dinv)
 
     # -- observables ----------------------------------------------------
     @property
-    def shape(self):
-        n = self._dinvs[0].shape[0] if self._dinvs else \
+    def _coarse_n(self):
+        return (
             self._coarse_inv.shape[0]
+            if self._coarse_inv is not None
+            else self._coarse_dinv.shape[0]
+        )
+
+    @property
+    def shape(self):
+        n = self._dinvs[0].shape[0] if self._dinvs else self._coarse_n
         return (n, n)
 
     @property
     def dtype(self):
-        return self._coarse_inv.dtype
+        return (
+            self._coarse_inv.dtype
+            if self._coarse_inv is not None
+            else self._coarse_dinv.dtype
+        )
 
     @property
     def n_levels(self):
@@ -292,9 +326,7 @@ class AMGPreconditioner:
 
     @property
     def level_sizes(self):
-        return tuple(d.shape[0] for d in self._dinvs) + (
-            self._coarse_inv.shape[0],
-        )
+        return tuple(d.shape[0] for d in self._dinvs) + (self._coarse_n,)
 
     hermitian = True
 
@@ -305,11 +337,12 @@ class AMGPreconditioner:
 
     def _jacobi(self, level, z, r, iters, from_zero=False):
         A = self._ops[level]
+        w = self._jw[level]
         if from_zero:
-            z = self.omega * self._dinv_mul(level, r)
+            z = w * self._dinv_mul(level, r)
             iters -= 1
         for _ in range(iters):
-            z = z + self.omega * self._dinv_mul(level, r - A @ z)
+            z = z + w * self._dinv_mul(level, r - A @ z)
         return z
 
     def _chebyshev(self, level, z, r, from_zero=False):
@@ -343,7 +376,17 @@ class AMGPreconditioner:
 
     def _vcycle(self, level, r):
         if level == len(self._ops):
-            return jnp.tensordot(self._coarse_inv, r, axes=1)
+            if self._coarse_inv is not None:
+                return jnp.tensordot(self._coarse_inv, r, axes=1)
+            # stalled-coarsening fallback: damped-Jacobi sweeps (the
+            # weight is folded into coarse_dinv at setup)
+            w = self._coarse_dinv.reshape(
+                self._coarse_dinv.shape + (1,) * (r.ndim - 1)
+            )
+            z = w * r
+            for _ in range(max(8, 2 * self.smooth)):
+                z = z + w * (r - self._coarse_op @ z)
+            return z
         z = self._smooth_level(level, None, r, from_zero=True)
         d = r - self._ops[level] @ z
         e = self._vcycle(level + 1, self._prolongs[level].rmatvec(d))
@@ -361,13 +404,15 @@ class AMGPreconditioner:
     # -- pytree -----------------------------------------------------------
     def tree_flatten(self):
         return (
-            (self._ops, self._prolongs, self._dinvs, self._coarse_inv),
+            (self._ops, self._prolongs, self._dinvs, self._coarse_inv,
+             self._coarse_op, self._coarse_dinv),
             (self.smooth, self.omega, self.smoother, self._lmaxs),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        ops, prolongs, dinvs, coarse_inv = children
+        ops, prolongs, dinvs, coarse_inv, coarse_op, coarse_dinv = children
         smooth, omega, smoother, lmaxs = aux
         return cls(ops, prolongs, dinvs, coarse_inv, smooth, omega,
-                   smoother=smoother, lmaxs=lmaxs)
+                   smoother=smoother, lmaxs=lmaxs, coarse_op=coarse_op,
+                   coarse_dinv=coarse_dinv)

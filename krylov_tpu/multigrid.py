@@ -139,6 +139,11 @@ class MultigridPreconditioner:
             # restriction carries the h_c^2/h^2 factor
             self._r_scale = 4.0 / (2 ** len(A.shape_nd))
         elif isinstance(A, GridStencilOperator):
+            if not A.hermitian:
+                raise ValueError(
+                    "multigrid preconditioning needs a hermitian (SPD) "
+                    "operator (the cycle advertises hermitian=True)"
+                )
             if any(r not in (-1, 0, 1) for r in A.row_offsets) or any(
                 c not in (-1, 0, 1) for c in A.col_offsets
             ):
@@ -708,7 +713,8 @@ def multigrid_factory(smooth=2, omega=0.8, n_levels=None, coarse_iters=40,
       application; iteration counts grow mildly with the shard count
       (~80 at 8 shards on 128² Poisson — still 5x under plain CG).
     * ``coupling="auto"`` (default) — "full" when the partition allows
-      it (unpadded, slab tiles the inner grid dims), else "local".
+      it, degrading to "local" for zero-padded grids.  A slab that does
+      not tile the inner grid dims supports neither cycle and raises.
 
     Also accepts a plain (unsharded) :class:`ConstStencilOperator`, so
     the same factory works in single-device `solver(..., M=factory(A))`

@@ -321,6 +321,35 @@ def poisson_2d(nx, ny=None, dtype=np.float64):
     return GridStencilOperator(jnp.asarray(coeffs), offsets, ny, hermitian=True)
 
 
+def diffusion_2d(a, dtype=None):
+    """SPD 5-point FV discretization of ``-div(a grad u)`` with Dirichlet
+    walls on the grid of cell coefficients ``a`` (shape ``(nx, ny)``).
+
+    Face conductivities are arithmetic means of the adjacent cells;
+    boundary faces use the boundary cell's own coefficient, so the
+    center includes the wall links and the matrix is honestly positive
+    definite (a center built from interior row sums alone would be a
+    singular Neumann operator).  ``a = ones`` reproduces ``poisson_2d``.
+    """
+    a = np.asarray(a, dtype=dtype)
+    nx, ny = a.shape
+    axf = np.zeros((nx + 1, ny), a.dtype)
+    axf[1:nx] = 0.5 * (a[1:, :] + a[:-1, :])
+    axf[0], axf[nx] = a[0, :], a[-1, :]
+    ayf = np.zeros((nx, ny + 1), a.dtype)
+    ayf[:, 1:ny] = 0.5 * (a[:, 1:] + a[:, :-1])
+    ayf[:, 0], ayf[:, ny] = a[:, 0], a[:, -1]
+    c = np.zeros((5, nx, ny), a.dtype)
+    c[0, 1:, :] = -axf[1:nx]
+    c[4, :-1, :] = -axf[1:nx]
+    c[1, :, 1:] = -ayf[:, 1:ny]
+    c[3, :, :-1] = -ayf[:, 1:ny]
+    c[2] = axf[:-1] + axf[1:] + ayf[:, :-1] + ayf[:, 1:]
+    return GridStencilOperator(
+        jnp.asarray(c), (-ny, -1, 0, 1, ny), ny, hermitian=True
+    )
+
+
 def poisson_3d(nx, ny=None, nz=None, dtype=np.float64):
     """7-point 3-D Laplacian (Dirichlet) on an (nx, ny, nz) grid.
 

@@ -179,6 +179,43 @@ def test_amg_chebyshev_smoother():
         AMGPreconditioner.from_scipy(A, smoother="sor")
 
 
+def test_amg_high_spectrum_jacobi_stays_convergent():
+    """lambda_max(D^-1 A) >> 2 (dense ones + eps*I): the per-level
+    Jacobi weight rescales by 2/lmax, so the cycle stays convergent
+    instead of amplifying error (r3 review finding)."""
+    n = 1500
+    A = scipy.sparse.csr_matrix(
+        np.ones((n, n)) + 10.0 * np.eye(n)
+    )
+    M = AMGPreconditioner.from_scipy(A)
+    b = jnp.asarray(RNG.standard_normal(n))
+    sol, info = krylov.cg(A, b, M=M, tol=1e-10, maxiter=200)
+    assert info.success
+    assert np.isfinite(np.asarray(sol)).all()
+    r = np.asarray(b) - A @ np.asarray(sol)
+    assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
+
+
+def test_amg_stalled_coarsening_large_falls_back_to_jacobi():
+    """A large diagonally dominant matrix has an empty strength graph:
+    coarsening stalls at level 0 while n is far beyond the dense-invert
+    guard, so the coarse solve falls back to damped-Jacobi sweeps
+    instead of materializing an n x n inverse (r3 review finding)."""
+    n = 6000
+    A = scipy.sparse.diags(
+        [0.01 * np.ones(n - 1), np.arange(1.0, n + 1),
+         0.01 * np.ones(n - 1)],
+        [-1, 0, 1], format="csr",
+    )
+    M = AMGPreconditioner.from_scipy(A)
+    assert M._coarse_inv is None and M._coarse_op is not None
+    b = jnp.asarray(RNG.standard_normal(n))
+    sol, info = krylov.cg(A, b, M=M, tol=1e-10, maxiter=100)
+    assert info.success
+    r = np.asarray(b) - A @ np.asarray(sol)
+    assert np.linalg.norm(r) <= 1e-8 * (1 + np.linalg.norm(np.asarray(b)))
+
+
 def test_amg_unsmoothed_prolongator_option():
     A = poisson2d_csr(64)
     M = AMGPreconditioner.from_scipy(A, smooth_prolongator=False)

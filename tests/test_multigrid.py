@@ -102,24 +102,10 @@ def test_mg_symmetric_enough_for_cg():
 
 
 def _var_diffusion(nx, ny, a):
-    """SPD 5-point FV discretization of -div(a grad u) with Dirichlet
-    walls: the center includes the boundary-face links, so the matrix is
-    honestly positive definite (not a shifted Neumann operator)."""
-    axf = np.zeros((nx + 1, ny))
-    axf[1:nx] = 0.5 * (a[1:, :] + a[:-1, :])
-    axf[0], axf[nx] = a[0, :], a[-1, :]
-    ayf = np.zeros((nx, ny + 1))
-    ayf[:, 1:ny] = 0.5 * (a[:, 1:] + a[:, :-1])
-    ayf[:, 0], ayf[:, ny] = a[:, 0], a[:, -1]
-    c = np.zeros((5, nx, ny))
-    c[0, 1:, :] = -axf[1:nx]
-    c[4, :-1, :] = -axf[1:nx]
-    c[1, :, 1:] = -ayf[:, 1:ny]
-    c[3, :, :-1] = -ayf[:, 1:ny]
-    c[2] = axf[:-1] + axf[1:] + ayf[:, :-1] + ayf[:, 1:]
-    return stencil.GridStencilOperator(
-        jnp.asarray(c), (-ny, -1, 0, 1, ny), ny, hermitian=True
-    )
+    """SPD -div(a grad u) via the library constructor (Dirichlet walls:
+    the center includes the boundary-face links, so the matrix is
+    honestly positive definite, not a shifted Neumann operator)."""
+    return stencil.diffusion_2d(np.broadcast_to(a, (nx, ny)))
 
 
 def test_mg_galerkin_variable_coefficients():
