@@ -4,6 +4,7 @@ from .stencil import (
     BandedOperator,
     ConstStencilOperator,
     GridStencilOperator,
+    diffusion_2d,
     poisson_1d,
     poisson_2d,
     poisson_2d_const,
@@ -18,6 +19,7 @@ __all__ = [
     "BandedOperator",
     "ConstStencilOperator",
     "GridStencilOperator",
+    "diffusion_2d",
     "poisson_1d",
     "poisson_2d",
     "poisson_2d_const",
