@@ -136,6 +136,48 @@ def _aggregate(A, theta):
     return l2[l1], n2
 
 
+def _lmax_dinv_a(Al):
+    """``lmax(D^-1 A)`` by a short host-side power iteration; also returns
+    the scaled matrix (used to smooth the tentative prolongator)."""
+    import scipy.sparse
+
+    d = Al.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    Dinv_A = scipy.sparse.diags(1.0 / d) @ Al
+    x = np.random.default_rng(0).standard_normal(Al.shape[0])
+    x /= np.linalg.norm(x)
+    lmax = 1.0
+    for _ in range(12):
+        y = Dinv_A @ x
+        lmax = float(np.linalg.norm(y))
+        if lmax == 0.0:
+            return 1.0, Dinv_A
+        x = y / lmax
+    return lmax, Dinv_A
+
+
+def _smoothed_prolongator(Al, theta, smooth_prolongator):
+    """One coarsening step: aggregate, build the tentative piecewise-
+    constant prolongator, optionally smooth it (classic SA), and return
+    ``(P, A_coarse, lmax)`` — or ``None`` when coarsening stalls."""
+    import scipy.sparse
+
+    labels, n_agg = _aggregate(Al, theta)
+    if n_agg >= 0.9 * Al.shape[0]:
+        return None  # coarsening stalled (e.g. diagonal matrix)
+    P = scipy.sparse.csr_matrix(
+        (np.ones(Al.shape[0], Al.dtype),
+         (np.arange(Al.shape[0]), labels)),
+        shape=(Al.shape[0], n_agg),
+    )
+    lmax, Dinv_A = _lmax_dinv_a(Al)
+    if smooth_prolongator:
+        # w = 4/(3 lmax): the classic SA prolongator smoother
+        P = (P - (4.0 / (3.0 * lmax)) * (Dinv_A @ P)).tocsr()
+    Ac = (P.conj().T @ Al @ P).tocsr()
+    return P, Ac, lmax
+
+
 def _device_sparse(sp, prefer_pet_rect=False):
     """Route a setup-side scipy matrix to the device operator format.
 
@@ -225,22 +267,6 @@ class AMGPreconditioner:
         if dtype is not None:
             A = A.astype(dtype)
 
-        def lmax_dinv_a(Al):
-            """λmax(D⁻¹A) by a short power iteration (host)."""
-            d = Al.diagonal()
-            d = np.where(d != 0, d, 1.0)
-            Dinv_A = scipy.sparse.diags(1.0 / d) @ Al
-            x = np.random.default_rng(0).standard_normal(Al.shape[0])
-            x /= np.linalg.norm(x)
-            lmax = 1.0
-            for _ in range(12):
-                y = Dinv_A @ x
-                lmax = float(np.linalg.norm(y))
-                if lmax == 0.0:
-                    return 1.0, Dinv_A
-                x = y / lmax
-            return lmax, Dinv_A
-
         levels = [A]
         prolongs = []
         lmaxs = []
@@ -248,21 +274,13 @@ class AMGPreconditioner:
             levels[-1].shape[0] > coarse_size
             and len(levels) < max_levels
         ):
-            Al = levels[-1]
-            labels, n_agg = _aggregate(Al, theta)
-            if n_agg >= 0.9 * Al.shape[0]:
-                break  # coarsening stalled (e.g. diagonal matrix)
-            P = scipy.sparse.csr_matrix(
-                (np.ones(Al.shape[0], Al.dtype),
-                 (np.arange(Al.shape[0]), labels)),
-                shape=(Al.shape[0], n_agg),
+            step = _smoothed_prolongator(
+                levels[-1], theta, smooth_prolongator
             )
-            lmax, Dinv_A = lmax_dinv_a(Al)
+            if step is None:
+                break  # coarsening stalled (e.g. diagonal matrix)
+            P, Ac, lmax = step
             lmaxs.append(lmax)
-            if smooth_prolongator:
-                # w = 4/(3 lmax): the classic SA prolongator smoother
-                P = (P - (4.0 / (3.0 * lmax)) * (Dinv_A @ P)).tocsr()
-            Ac = (P.conj().T @ Al @ P).tocsr()
             if dtype is not None:
                 P, Ac = P.astype(dtype), Ac.astype(dtype)
             prolongs.append(P)
@@ -289,7 +307,7 @@ class AMGPreconditioner:
             coarse_op = _device_sparse(levels[-1])
             d = levels[-1].diagonal()
             d = np.where(d != 0, d, 1.0)
-            lmax_c = lmax_dinv_a(levels[-1])[0]
+            lmax_c = _lmax_dinv_a(levels[-1])[0]
             # fold the convergence-safe Jacobi weight into the vector:
             # the coarse fallback is only ever used by Jacobi sweeps
             scale = omega if lmax_c <= 2.0 else omega * 2.0 / lmax_c

@@ -13,6 +13,7 @@ a single-process NumPy program — SURVEY.md §2.3):
 """
 
 from . import multihost
+from .amg import AMGPartition, partition_amg
 from .banded import ShardedBandedOperator
 from .bsr import ShardedBSROperator
 from .pet import PETPartition, ShardedPETOperator, partition_pet
@@ -22,6 +23,8 @@ from .mesh import RHS, ROWS, make_mesh, psum_inner
 from .solve import sharded_solve
 
 __all__ = [
+    "AMGPartition",
+    "partition_amg",
     "make_mesh",
     "psum_inner",
     "ROWS",

@@ -29,6 +29,35 @@ from .mesh import ROWS
 from .banded import _identity_perm_shift
 
 
+def pad_unit_diagonal(A, pad):
+    """Append ``pad`` unit-diagonal rows/cols to a scipy CSR matrix.
+
+    Zero coupling to real rows: padded entries of every solver vector start
+    at zero and stay exactly zero (identity rows map 0 -> 0, padded columns
+    are never read by real rows), so Krylov trajectories are bit-identical
+    to the unpadded problem — and diagonal-dividing solvers/smoothers divide
+    by 1 at padded rows instead of 0/0 = NaN."""
+    import scipy.sparse
+
+    if pad == 0:
+        A = A.tocsr()
+        A.sort_indices()
+        return A
+    n0, m0 = A.shape
+    A = A.copy()
+    A.resize((n0 + pad, m0 + pad))
+    eye_pad = scipy.sparse.csr_matrix(
+        (
+            np.ones(pad, A.dtype),
+            (np.arange(n0, n0 + pad), np.arange(m0, m0 + pad)),
+        ),
+        shape=A.shape,
+    )
+    A = (A + eye_pad).tocsr()
+    A.sort_indices()
+    return A
+
+
 def partition_csr(A, n_shards):
     """Split a CSR matrix into ``n_shards`` contiguous row slabs (host side).
 
@@ -50,26 +79,7 @@ def partition_csr(A, n_shards):
     N = A.shape[0]
     pad = (-N) % n_shards
     if pad:
-        # unit-diagonal padding: padded entries of every solver vector
-        # start at zero and stay at zero (identity rows map 0 -> 0, padded
-        # columns are never read by real rows), so Krylov trajectories are
-        # bit-identical to the unpadded problem — and diagonal-dividing
-        # solvers (jacobi/GS/SOR) and M_factory smoothers built from the
-        # local operator divide by 1 at padded rows instead of 0/0 = NaN
-        import scipy.sparse as _sps
-
-        n0, m0 = A.shape
-        A = A.copy()
-        A.resize((n0 + pad, m0 + pad))
-        eye_pad = _sps.csr_matrix(
-            (
-                np.ones(pad, A.dtype),
-                (np.arange(n0, n0 + pad), np.arange(m0, m0 + pad)),
-            ),
-            shape=A.shape,
-        )
-        A = (A + eye_pad).tocsr()
-        A.sort_indices()
+        A = pad_unit_diagonal(A, pad)
         N = N + pad
     n_local = N // n_shards
 

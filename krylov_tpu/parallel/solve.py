@@ -45,6 +45,7 @@ def sharded_solve(
     x0=None,
     M_diag=None,
     M_factory=None,
+    M_partition=None,
     tol=1e-5,
     atol=1e-15,
     maxiter=None,
@@ -73,6 +74,12 @@ def sharded_solve(
       ``lambda A_l: ChebyshevPreconditioner(A_l, (lo, hi), degree=6)``:
       matvec-based preconditioners then run distributed for free (their
       matvecs are the sharded operator's own halo-exchanging matvecs).
+    * ``M_partition`` — a host-built distributed preconditioner partition
+      (e.g. :func:`~krylov_tpu.parallel.amg.partition_amg`): its stacked
+      arrays ride through ``shard_map`` next to the operator's and its
+      ``make_local`` assembles the cycle around the solve's own sharded
+      fine-level operator.  Build it on the SAME matrix/ordering as ``A``
+      (mutually exclusive with ``M_diag``/``M_factory``/``reorder``).
     * ``reorder`` — for scipy/CSR operators: solve on the symmetric
       RCM reordering (``"rcm"``, an index array, or ``"auto"`` which
       reorders only when it at least halves the matrix bandwidth).  A
@@ -88,6 +95,32 @@ def sharded_solve(
     """
     mesh = make_mesh() if mesh is None else mesh
     n_rows = mesh.shape[ROWS]
+
+    if M_partition is not None:
+        if M_diag is not None or M_factory is not None:
+            raise ValueError(
+                "M_partition is mutually exclusive with M_diag/M_factory"
+            )
+        if reorder is not None:
+            raise ValueError(
+                "M_partition is built on a fixed row ordering; reorder= "
+                "would misalign it (reorder the matrix before partition_amg)"
+            )
+        if isinstance(A, (GridStencilOperator, ConstStencilOperator)):
+            raise TypeError(
+                "grid operators precondition via "
+                "M_factory=multigrid_factory(...), not M_partition"
+            )
+        if isinstance(A, PETPartition) and A.get("perm") is not None:
+            raise ValueError(
+                "M_partition needs the PET partition built without "
+                "reorder= (orderings must match)"
+            )
+        if M_partition.n_shards != n_rows:
+            raise ValueError(
+                f"M_partition built for {M_partition.n_shards} shards but "
+                f"the mesh rows axis has {n_rows} devices"
+            )
 
     b = jnp.asarray(b)
 
@@ -150,7 +183,8 @@ def sharded_solve(
     if restart is not None:
         return _sharded_restarted(
             solver, A, b, restart=restart, mesh=mesh, shard_rhs=shard_rhs,
-            x0=x0, M_diag=M_diag, M_factory=M_factory, tol=tol, atol=atol,
+            x0=x0, M_diag=M_diag, M_factory=M_factory,
+            M_partition=M_partition, tol=tol, atol=atol,
             maxiter=maxiter, **solver_kwargs,
         )
 
@@ -274,10 +308,25 @@ def sharded_solve(
     # solvers without an SPD `M` slot (bicgstab/qmr) take the
     # preconditioner as a LEFT preconditioner instead
     prec_param = "M" if "M" in _params else ("Ml" if "Ml" in _params else None)
-    if prec_param is None and (M_diag is not None or M_factory is not None):
+    if prec_param is None and (
+        M_diag is not None or M_factory is not None or M_partition is not None
+    ):
         raise ValueError(f"{solver} accepts neither M nor Ml")
 
-    def local_solve(b_l, x0_l, Md_l, *A_l):
+    M_arrays, M_specs = (), ()
+    if M_partition is not None:
+        if M_partition.n_pad != b.shape[0]:
+            raise ValueError(
+                f"M_partition built for padded size {M_partition.n_pad} "
+                f"but the solve's padded size is {b.shape[0]} — build "
+                "partition_amg on the same matrix"
+            )
+        M_arrays = M_partition.device_arrays()
+        M_specs = M_partition.specs()
+    n_A_arrays = len(A_arrays)
+
+    def local_solve(b_l, x0_l, Md_l, *arrs):
+        A_l, M_l = arrs[:n_A_arrays], arrs[n_A_arrays:]
         A_op = make_local(*A_l)
         inner = psum_inner(b_l.shape, ROWS)
         kw = dict(solver_kwargs)
@@ -296,6 +345,8 @@ def sharded_solve(
             kw[prec_param] = DiagonalOperator(Md_l)
         elif M_factory is not None:
             kw[prec_param] = M_factory(A_op)
+        elif M_partition is not None:
+            kw[prec_param] = M_partition.make_local(A_op, *M_l, axis=ROWS)
         xk, info = solver(
             A_op,
             b_l,
@@ -328,11 +379,11 @@ def sharded_solve(
     fn = shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(vec_spec, vec_spec, Md_spec) + A_specs,
+        in_specs=(vec_spec, vec_spec, Md_spec) + A_specs + M_specs,
         out_specs=(vec_spec, one_spec, one_spec, buf_spec),
         check_vma=False,
     )
-    xk, success, numsteps, buf = jax.jit(fn)(b, x0, Md, *A_arrays)
+    xk, success, numsteps, buf = jax.jit(fn)(b, x0, Md, *A_arrays, *M_arrays)
 
     if pad_rows:
         xk = xk[:N]
@@ -513,7 +564,7 @@ def _local_pet(*arrs, geom, geom_t, n_local, n_global):
 
 def _sharded_restarted(
     solver, A, b, *, restart, mesh, shard_rhs, x0, M_diag, M_factory=None,
-    tol, atol, maxiter, **solver_kwargs,
+    M_partition=None, tol, atol, maxiter, **solver_kwargs,
 ):
     """Restarted sharded solve: one compiled cycle per outer iteration.
 
@@ -532,7 +583,8 @@ def _sharded_restarted(
         cycle_max = min(m, total_max - numsteps)
         kw = dict(
             mesh=mesh, shard_rhs=shard_rhs, x0=x, M_diag=M_diag,
-            M_factory=M_factory, maxiter=cycle_max, **solver_kwargs,
+            M_factory=M_factory, M_partition=M_partition,
+            maxiter=cycle_max, **solver_kwargs,
         )
         if criterion is None:
             sol, info = sharded_solve(solver, A, b, tol=tol, atol=atol, **kw)
