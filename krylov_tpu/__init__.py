@@ -33,6 +33,7 @@ from .errors import ArgumentError
 from .givens import givens
 from .householder import Householder
 from .amg import AMGPreconditioner
+from .blockjacobi import BlockJacobiPreconditioner
 from .multigrid import (
     MultigridPreconditioner,
     ShardedMultigridPreconditioner,
@@ -59,6 +60,7 @@ __all__ = [
     "DiagonalOperator",
     "ChebyshevPreconditioner",
     "AMGPreconditioner",
+    "BlockJacobiPreconditioner",
     "MultigridPreconditioner",
     "ShardedMultigridPreconditioner",
     "multigrid_factory",

@@ -13,6 +13,7 @@ a single-process NumPy program — SURVEY.md §2.3):
 """
 
 from . import multihost
+from ..blockjacobi import BlockJacobiPartition, partition_block_jacobi
 from .amg import AMGPartition, partition_amg
 from .banded import ShardedBandedOperator
 from .bsr import ShardedBSROperator
@@ -25,6 +26,8 @@ from .solve import sharded_solve
 __all__ = [
     "AMGPartition",
     "partition_amg",
+    "BlockJacobiPartition",
+    "partition_block_jacobi",
     "make_mesh",
     "psum_inner",
     "ROWS",
