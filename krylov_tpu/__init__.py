@@ -34,6 +34,7 @@ from .givens import givens
 from .householder import Householder
 from .amg import AMGPreconditioner
 from .blockjacobi import BlockJacobiPreconditioner
+from .ilu import ILUPreconditioner
 from .multigrid import (
     MultigridPreconditioner,
     ShardedMultigridPreconditioner,
@@ -61,6 +62,7 @@ __all__ = [
     "ChebyshevPreconditioner",
     "AMGPreconditioner",
     "BlockJacobiPreconditioner",
+    "ILUPreconditioner",
     "MultigridPreconditioner",
     "ShardedMultigridPreconditioner",
     "multigrid_factory",

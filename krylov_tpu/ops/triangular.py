@@ -9,6 +9,7 @@ over columns, usable inside compiled solver loops.
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
+from jax.tree_util import register_pytree_node_class
 
 
 def multi_solve_triangular(A, B, lower=False):
@@ -143,6 +144,7 @@ def grid_upper_sweep(coeffs2d, row_offsets, col_offsets, b2, omega=1.0):
     return x2[::-1, ::-1]
 
 
+@register_pytree_node_class
 class LevelScheduledTriangularSolve:
     """Level-scheduled sparse triangular solve (the general-sparsity path).
 
@@ -222,3 +224,14 @@ class LevelScheduledTriangularSolve:
                 )
             x = x.at[rows].set(rhs / d.reshape(d.shape + (1,) * (b.ndim - 1)))
         return x
+
+    # -- pytree (so preconditioners built on it cross jit boundaries) ----
+    def tree_flatten(self):
+        return (tuple(self._levels),), (self.n, self.lower, self.nlevels)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        self = object.__new__(cls)
+        self.n, self.lower, self.nlevels = aux
+        self._levels = list(children[0])
+        return self

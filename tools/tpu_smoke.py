@@ -193,6 +193,47 @@ def main():
     if int(infoam.numsteps) > 30:
         failures.append(f"cg_amg took {int(infoam.numsteps)} iters")
 
+    # 6e. block-Jacobi (batched MXU block inverses): line blocks on a
+    # 100:1 anisotropic Poisson, where pointwise Jacobi is inert
+    from krylov_tpu import BlockJacobiPreconditioner
+
+    Tbj = scipy.sparse.diags(
+        [-np.ones(nam - 1), 2 * np.ones(nam), -np.ones(nam - 1)],
+        [-1, 0, 1],
+    )
+    Abj = (
+        scipy.sparse.kron(scipy.sparse.eye(nam), 100.0 * Tbj)
+        + scipy.sparse.kron(Tbj, scipy.sparse.eye(nam))
+    ).tocsr().astype(np.float32)
+    Mbj = BlockJacobiPreconditioner.from_scipy(
+        Abj, block=nam, dtype=np.float32
+    )
+    solbj, infobj = krylov.cg(
+        Abj, bam, M=Mbj, tol=1e-5, maxiter=120, backend="while_loop"
+    )
+    rbj = np.asarray(bam) - Abj @ np.asarray(infobj.xk)
+    check(
+        "cg_blockjacobi_line",
+        float(np.linalg.norm(rbj) / np.linalg.norm(np.asarray(bam))),
+        1e-3,
+    )
+    if int(infobj.numsteps) > 60:
+        failures.append(f"cg_blockjacobi took {int(infobj.numsteps)} iters")
+
+    # 6f. the M_partition route end-to-end on device (1-chip mesh):
+    # distributed AMG's psum restriction + replicated tail inside shard_map
+    part1 = parallel.partition_amg(Aam, 1, dtype=np.float32)
+    solmp, infomp = parallel.sharded_solve(
+        krylov.cg, Aam, bam, mesh=parallel.make_mesh(1),
+        M_partition=part1, tol=1e-5, maxiter=60,
+    )
+    rmp = np.asarray(bam) - Aam @ np.asarray(infomp.xk)
+    check(
+        "sharded_amg_mpartition",
+        float(np.linalg.norm(rmp) / np.linalg.norm(np.asarray(bam))),
+        1e-3,
+    )
+
     # 7. bf16 const-stencil matvec consistency
     x16 = jnp.asarray(rng.standard_normal(Ac.grid), jnp.bfloat16)
     A16 = stencil.ConstStencilOperator(
