@@ -17,13 +17,14 @@ Split of labor, TPU-first:
   pivoting) for stronger factors at the price of deeper level chains.
 * **Apply** (every iteration, on device): two permutation gathers (ILUT
   only) and two
-  :class:`~krylov_tpu.ops.triangular.LevelScheduledTriangularSolve` sweeps
-  — rows grouped host-side into dependency levels, one data-parallel
-  gather + segment-sum per level, so the whole application is a static
-  XLA program with no sequential row loop (the reference's
-  ``spsolve_triangular`` analogue, SURVEY.md §2.2).  Matrices whose
-  factors have deep dependency chains are refused at setup with a clear
-  error (``max_levels``) — Chebyshev/AMG are the right tools there.
+  :class:`~krylov_tpu.ops.triangular.StackedTriangularSweep` sweeps —
+  rows grouped host-side into dependency levels, executed as ONE
+  ``lax.scan`` over padded levels (one data-parallel gather + segment-sum
+  per step), so there is no sequential row loop and the compiled program
+  is O(1) in the level count (the reference's ``spsolve_triangular``
+  analogue, SURVEY.md §2.2).  Matrices whose factors have deep dependency
+  chains are refused at setup with a clear error (``max_levels``) —
+  Chebyshev/AMG are the right tools there.
 
 ILUT apply semantics match ``SuperLU.solve`` exactly (verified in tests):
 ``z[perm_r] = r;  y = L⁻¹ z;  w = U⁻¹ y;  M r = w[perm_c]``.
@@ -34,7 +35,17 @@ import numpy as np
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
-from .ops.triangular import LevelScheduledTriangularSolve
+from .ops.triangular import StackedTriangularSweep, stacked_level_arrays
+
+
+def _sweep(factor, lower, max_levels):
+    """Build one scan-based sweep from a scipy triangular factor."""
+    arrs = stacked_level_arrays(
+        [factor], factor.shape[0], lower=lower, max_levels=max_levels
+    )
+    return StackedTriangularSweep(
+        *(jnp.asarray(a[0]) for a in arrs), factor.shape[0]
+    )
 
 __all__ = ["ILUPreconditioner"]
 
@@ -148,24 +159,16 @@ class ILUPreconditioner:
             raise ValueError(f"unknown method {method!r}")
         if dtype is not None:
             L, U = L.astype(dtype), U.astype(dtype)
-        lsolve = LevelScheduledTriangularSolve(
-            L, lower=True, max_levels=max_levels
-        )
-        usolve = LevelScheduledTriangularSolve(
-            U, lower=False, max_levels=max_levels
-        )
+        lsolve = _sweep(L, True, max_levels)
+        usolve = _sweep(U, False, max_levels)
         n = A.shape[0]
         if perm_r is None:
             perm_r = perm_c = np.arange(n)
         adj = None
         if with_rmatvec:
             adj = (
-                LevelScheduledTriangularSolve(
-                    U.conj().T.tocsr(), lower=True, max_levels=max_levels
-                ),
-                LevelScheduledTriangularSolve(
-                    L.conj().T.tocsr(), lower=False, max_levels=max_levels
-                ),
+                _sweep(U.conj().T.tocsr(), True, max_levels),
+                _sweep(L.conj().T.tocsr(), False, max_levels),
                 jnp.asarray(np.argsort(perm_c), jnp.int32),
                 jnp.asarray(perm_r, jnp.int32),
             )
@@ -178,11 +181,11 @@ class ILUPreconditioner:
 
     @property
     def shape(self):
-        return (self._l.n, self._l.n)
+        return (self._l.n_local, self._l.n_local)
 
     @property
     def dtype(self):
-        return self._l._levels[0][1].dtype
+        return self._l.dat.dtype
 
     @property
     def nlevels(self):

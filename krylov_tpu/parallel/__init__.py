@@ -21,6 +21,7 @@ from .pet import PETPartition, ShardedPETOperator, partition_pet
 from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import RHS, ROWS, make_mesh, psum_inner
+from .schwarz import ILUSchwarzPartition, partition_ilu0
 from .solve import sharded_solve
 
 __all__ = [
@@ -28,6 +29,8 @@ __all__ = [
     "partition_amg",
     "BlockJacobiPartition",
     "partition_block_jacobi",
+    "ILUSchwarzPartition",
+    "partition_ilu0",
     "make_mesh",
     "psum_inner",
     "ROWS",
