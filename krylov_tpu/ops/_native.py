@@ -132,3 +132,95 @@ def pet_build_native(csr, lc=None):
         "ent": ent, "dat": dat, "meta": meta, "meta_v": meta_v,
         "nchunks": nchunks, "lc": lc_out, "fill": fill,
     }
+
+
+# ---- ilu0.cpp: incomplete-LU setup helpers --------------------------------
+
+_ilu_lib = None
+_ilu_tried = False
+
+
+def _load_ilu():
+    global _ilu_lib, _ilu_tried
+    if _ilu_tried:
+        return _ilu_lib
+    _ilu_tried = True
+    if os.environ.get("KRYLOV_TPU_NO_NATIVE"):
+        return None
+    try:
+        src = os.path.join(_CSRC, "ilu0.cpp")
+        with open(src, "rb") as f:
+            blob = f.read()
+        import hashlib
+
+        tag = hashlib.sha256(blob).hexdigest()[:16]
+        so = os.path.join(_cache_dir(), f"_ilu0_{tag}.so")
+        if not os.path.exists(so):
+            with tempfile.TemporaryDirectory() as td:
+                tmp = os.path.join(td, "ilu0.so")
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                     "-o", tmp],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ilu0_factor.restype = ctypes.c_int64
+        lib.ilu0_factor.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.tri_levels.restype = ctypes.c_int64
+        lib.tri_levels.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p,
+        ]
+        _ilu_lib = lib
+    except Exception as e:  # no compiler / sandboxed fs / bad cache
+        sys.stderr.write(f"krylov_tpu: native ilu0 unavailable ({e!r}); "
+                         "using the numpy setup path\n")
+        _ilu_lib = None
+    return _ilu_lib
+
+
+def ilu0_factor_native(csr):
+    """Native in-place ILU(0) numerics; returns the factored ``data``
+    (float64) or None when the native path is unavailable.  ``csr`` must
+    be canonical (sorted indices)."""
+    import numpy as np
+
+    lib = _load_ilu()
+    if lib is None:
+        return None
+    n = csr.shape[0]
+    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(csr.indices, dtype=np.int64)
+    data = np.ascontiguousarray(csr.data, dtype=np.float64).copy()
+    rc = lib.ilu0_factor(
+        n,
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return data if rc == 0 else None
+
+
+def tri_levels_native(sp_csr, lower):
+    """Native dependency-level assignment; returns the per-row level
+    array (int64) or None when the native path is unavailable."""
+    import numpy as np
+
+    lib = _load_ilu()
+    if lib is None:
+        return None
+    n = sp_csr.shape[0]
+    indptr = np.ascontiguousarray(sp_csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(sp_csr.indices, dtype=np.int64)
+    level = np.zeros(n, dtype=np.int64)
+    lib.tri_levels(
+        n,
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        1 if lower else 0,
+        level.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return level

@@ -160,13 +160,17 @@ def level_arrays(sp_tri, lower=True, max_levels=1024):
     n = sp.shape[0]
     indptr, indices, data = sp.indptr, sp.indices, sp.data
 
-    order = range(n) if lower else range(n - 1, -1, -1)
-    level = np.zeros(n, np.int64)
-    for i in order:
-        cols = indices[indptr[i]: indptr[i + 1]]
-        cols = cols[cols < i] if lower else cols[cols > i]
-        if len(cols):
-            level[i] = level[cols].max() + 1
+    from ._native import tri_levels_native
+
+    level = tri_levels_native(sp, lower)
+    if level is None:
+        order = range(n) if lower else range(n - 1, -1, -1)
+        level = np.zeros(n, np.int64)
+        for i in order:
+            cols = indices[indptr[i]: indptr[i + 1]]
+            cols = cols[cols < i] if lower else cols[cols > i]
+            if len(cols):
+                level[i] = level[cols].max() + 1
     nlev = int(level.max()) + 1 if n else 1
     if nlev > max_levels:
         raise NotImplementedError(
@@ -179,12 +183,23 @@ def level_arrays(sp_tri, lower=True, max_levels=1024):
     if np.any(diag == 0):
         raise ValueError("triangular factor has zeros on the diagonal")
 
-    levels = []
+    # group rows and entries by level in one stable sort each (a per-level
+    # flatnonzero scan would be O(nlev * nnz) — quadratic on wavefront
+    # factors at 1M rows)
     row_of = np.repeat(np.arange(n), np.diff(indptr))
     off = indices < row_of if lower else indices > row_of
+    rorder = np.argsort(level, kind="stable")
+    rsplit = np.split(rorder, np.cumsum(np.bincount(level, minlength=nlev))[:-1])
+    ent = np.flatnonzero(off)
+    elev = level[row_of[ent]]
+    eorder = ent[np.argsort(elev, kind="stable")]
+    esplit = np.split(
+        eorder, np.cumsum(np.bincount(elev, minlength=nlev))[:-1]
+    )
+    levels = []
     for l in range(nlev):
-        rows = np.flatnonzero(level == l)
-        sel = off & (level[row_of] == l)
+        rows = rsplit[l]
+        sel = esplit[l]
         lrow = np.searchsorted(rows, row_of[sel])
         levels.append((rows, diag[rows], data[sel], indices[sel], lrow))
     return n, levels
