@@ -220,6 +220,21 @@ def main():
     if int(infobj.numsteps) > 60:
         failures.append(f"cg_blockjacobi took {int(infobj.numsteps)} iters")
 
+    # 6e2. ILU(0)-preconditioned GMRES (scan-based triangular sweeps on
+    # device; wavefront-shallow levels by construction)
+    from krylov_tpu import ILUPreconditioner
+
+    Milu = ILUPreconditioner.from_scipy(Abj, dtype=np.float32)
+    solil, infoil = krylov.gmres(
+        Abj, bam, Ml=Milu, tol=1e-5, maxiter=60, backend="while_loop"
+    )
+    ril = np.asarray(bam) - Abj @ np.asarray(infoil.xk)
+    check(
+        "gmres_ilu0",
+        float(np.linalg.norm(ril) / np.linalg.norm(np.asarray(bam))),
+        1e-3,
+    )
+
     # 6f. the M_partition route end-to-end on device (1-chip mesh):
     # distributed AMG's psum restriction + replicated tail inside shard_map
     part1 = parallel.partition_amg(Aam, 1, dtype=np.float32)
