@@ -60,8 +60,9 @@ def _block_diag_inverses(A, block, dtype=None):
     return np.linalg.inv(blocks), n
 
 
-def _apply_blocks(inv, r, n):
-    """One batched MXU matmul: ``z_b = inv_b r_b`` per block."""
+def _apply_blocks(inv, r):
+    """One batched MXU matmul: ``z_b = inv_b r_b`` per block (``r`` may be
+    shorter than the block grid; the tail is zero-padded and sliced off)."""
     nb, k, _ = inv.shape
     pad = nb * k - r.shape[0]
     rp = (
@@ -110,15 +111,12 @@ class BlockJacobiPreconditioner:
     hermitian = True
 
     def __matmul__(self, r):
-        return _apply_blocks(self._inv, r, self._n)
+        return _apply_blocks(self._inv, r)
 
     matvec = __matmul__
 
     def rmatvec(self, r):
-        nb, k, _ = self._inv.shape
-        return _apply_blocks(
-            jnp.conj(jnp.swapaxes(self._inv, 1, 2)), r, self._n
-        )
+        return _apply_blocks(jnp.conj(jnp.swapaxes(self._inv, 1, 2)), r)
 
     def tree_flatten(self):
         return (self._inv,), (self._n,)
@@ -147,14 +145,12 @@ class _LocalBlockJacobi:
     hermitian = True
 
     def __matmul__(self, r):
-        return _apply_blocks(self._inv, r, r.shape[0])
+        return _apply_blocks(self._inv, r)
 
     matvec = __matmul__
 
     def rmatvec(self, r):
-        return _apply_blocks(
-            jnp.conj(jnp.swapaxes(self._inv, 1, 2)), r, r.shape[0]
-        )
+        return _apply_blocks(jnp.conj(jnp.swapaxes(self._inv, 1, 2)), r)
 
     def tree_flatten(self):
         return (self._inv,), ()

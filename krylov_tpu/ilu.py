@@ -178,21 +178,24 @@ class ILUPreconditioner:
             L, U = L.astype(dtype), U.astype(dtype)
         lsolve = _sweep(L, True, max_levels)
         usolve = _sweep(U, False, max_levels)
-        n = A.shape[0]
-        if perm_r is None:
-            perm_r = perm_c = np.arange(n)
         adj = None
         if with_rmatvec:
+            # ilu0 has identity permutations: keep them None so the
+            # per-iteration apply skips the gathers entirely
             adj = (
                 _sweep(U.conj().T.tocsr(), True, max_levels),
                 _sweep(L.conj().T.tocsr(), False, max_levels),
-                jnp.asarray(np.argsort(perm_c), jnp.int32),
-                jnp.asarray(perm_r, jnp.int32),
+                None if perm_c is None
+                else jnp.asarray(np.argsort(perm_c), jnp.int32),
+                None if perm_r is None
+                else jnp.asarray(perm_r, jnp.int32),
             )
         return cls(
             lsolve, usolve,
-            jnp.asarray(np.argsort(perm_r), jnp.int32),
-            jnp.asarray(perm_c, jnp.int32),
+            None if perm_r is None
+            else jnp.asarray(np.argsort(perm_r), jnp.int32),
+            None if perm_c is None
+            else jnp.asarray(perm_c, jnp.int32),
             adj=adj,
         )
 
@@ -210,9 +213,9 @@ class ILUPreconditioner:
         return (self._l.nlevels, self._u.nlevels)
 
     def __matmul__(self, r):
-        z = r[self._ipr]          # z[perm_r] = r
+        z = r if self._ipr is None else r[self._ipr]  # z[perm_r] = r
         w = self._u(self._l(z))
-        return w[self._pc]
+        return w if self._pc is None else w[self._pc]
 
     matvec = __matmul__
 
@@ -223,8 +226,8 @@ class ILUPreconditioner:
                 "for solvers that apply the adjoint preconditioner (qmr)"
             )
         uH, lH, ipc, pr = self._adj
-        w = lH(uH(r[ipc]))
-        return w[pr]
+        w = lH(uH(r if ipc is None else r[ipc]))
+        return w if pr is None else w[pr]
 
     def tree_flatten(self):
         return (self._l, self._u, self._ipr, self._pc, self._adj), ()

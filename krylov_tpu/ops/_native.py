@@ -189,7 +189,8 @@ def ilu0_factor_native(csr):
     import numpy as np
 
     lib = _load_ilu()
-    if lib is None:
+    if lib is None or np.iscomplexobj(csr.data):
+        # the C kernel is real-f64; complex matrices take the numpy path
         return None
     n = csr.shape[0]
     indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)

@@ -40,7 +40,10 @@ def pad_unit_diagonal(A, pad):
     import scipy.sparse
 
     if pad == 0:
-        A = A.tocsr()
+        # copy so the canonicalizing sort never mutates the caller's
+        # matrix and downstream holders (e.g. AMGPartition.padded_matrix)
+        # never alias user data
+        A = A.tocsr().copy()
         A.sort_indices()
         return A
     n0, m0 = A.shape

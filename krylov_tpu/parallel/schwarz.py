@@ -197,6 +197,8 @@ def partition_ilu0(A, n_shards, *, with_rmatvec=False, dtype=None,
 
     if not scipy.sparse.issparse(A):
         A = scipy.sparse.csr_matrix(np.asarray(A))
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("ILU-Schwarz needs a square matrix")
     N = A.shape[0]
     A_pad = pad_unit_diagonal(A.tocsr(), (-N) % n_shards)
     n_pad = A_pad.shape[0]

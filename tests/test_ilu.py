@@ -83,6 +83,22 @@ def test_left_preconditions_nonsymmetric_family():
         assert np.max(np.abs(np.asarray(sol) - x_ref)) < 1e-5
 
 
+def test_ilu0_complex_matrix_keeps_imaginary_part():
+    """Complex matrices must route around the real-only native kernel:
+    the ILU(0) defining property holds for complex data too."""
+    from krylov_tpu.ilu import _ilu0_factor
+
+    C = A.astype(np.complex128) + 1j * scipy.sparse.diags(
+        0.1 * np.ones(N - 1), 1, shape=(N, N)
+    ).tocsr()
+    C = C.tocsr()
+    L, U = _ilu0_factor(C)
+    mask = C.copy()
+    mask.data = np.ones_like(mask.data)
+    diff = (L @ U).multiply(mask) - C
+    assert (np.abs(diff.data).max() if diff.nnz else 0.0) < 1e-12
+
+
 def test_level_guard_refuses_deep_chains():
     with pytest.raises(NotImplementedError, match="levels"):
         ILUPreconditioner.from_scipy(A, max_levels=4)
