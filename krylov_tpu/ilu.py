@@ -3,8 +3,11 @@
 Extension beyond the reference (which ships no preconditioners — ``M`` is
 always user-supplied, reference: src/krylov/cg.py:33-36).  Completes the
 classic preconditioner suite for the NONSYMMETRIC family: use as the ``Ml``
-of gmres/bicgstab/cgs/qmr (for SPD systems prefer the SPD-preserving
-members: Jacobi, block Jacobi, Chebyshev, multigrid, AMG).
+of gmres/bicgstab/cgs/qmr.  For SPD matrices with symmetric sparsity,
+``method="ilu0"`` (no pivoting, exact pattern) factors into ``L D Lᵀ``
+exactly — the classical IC(0) equivalence — so it is ALSO a valid SPD
+``M`` of cg/minres (tested to machine-precision symmetry); ``method=
+"ilut"`` pivots and is nonsymmetric-only.
 
 Split of labor, TPU-first:
 

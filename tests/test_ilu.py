@@ -83,6 +83,27 @@ def test_left_preconditions_nonsymmetric_family():
         assert np.max(np.abs(np.asarray(sol) - x_ref)) < 1e-5
 
 
+def test_ilu0_is_spd_preconditioner_for_cg():
+    """On SPD input the no-pivot exact-pattern factorization is exactly
+    L D L^T (the IC(0) equivalence), so ilu0 is a valid CG ``M``."""
+    from krylov_tpu.ilu import _ilu0_factor
+
+    S = _convection_diffusion(pe=0.0)  # plain SPD Poisson
+    L, U = _ilu0_factor(S)
+    P = (L @ U).toarray()
+    assert np.abs(P - P.T).max() < 1e-12
+    b = RNG.standard_normal(S.shape[0])
+    _, i_j = krylov_tpu.cg(
+        S, b, tol=1e-8, M=krylov_tpu.jacobi_preconditioner(S)
+    )
+    M = ILUPreconditioner.from_scipy(S)
+    sol, i_ic = krylov_tpu.cg(S, b, tol=1e-8, M=M, backend="while_loop")
+    assert i_ic.success
+    assert i_ic.numsteps * 2 < i_j.numsteps
+    x_ref = scipy.sparse.linalg.spsolve(S.tocsc(), b)
+    assert np.max(np.abs(np.asarray(sol) - x_ref)) < 1e-6
+
+
 def test_ilu0_complex_matrix_keeps_imaginary_part():
     """Complex matrices must route around the real-only native kernel:
     the ILU(0) defining property holds for complex data too."""
