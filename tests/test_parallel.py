@@ -1211,3 +1211,51 @@ def test_sharded_csr_reorder_flips_gather_to_halo():
         maxiter=200, reorder="auto",
     )
     assert info2.success
+
+
+def test_sharded_solve_complex_hpd_cg():
+    """Complex HPD system row-partitioned: psum inners conjugate, the
+    halo matvec carries complex data, trajectories match single-device
+    (capability parity: the reference zoo's hpd problem,
+    reference: tests/linear_problems.py)."""
+    n = 64
+    rng = np.random.default_rng(9)
+    T = scipy.sparse.diags(
+        [(-1 + 0.4j) * np.ones(n - 1), 3.0 * np.ones(n),
+         (-1 - 0.4j) * np.ones(n - 1)],
+        [-1, 0, 1], format="csr",
+    )
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    sol_ref, info_ref = krylov_tpu.cg(T, b, tol=1e-12, maxiter=200)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, T, b, mesh=_mesh(), tol=1e-12, maxiter=200
+    )
+    assert info.success
+    assert info.numsteps == info_ref.numsteps
+    np.testing.assert_allclose(
+        np.asarray(sol), np.asarray(sol_ref), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(info.resnorms), np.asarray(info_ref.resnorms),
+        rtol=1e-8, atol=1e-12,
+    )
+
+
+def test_sharded_solve_complex_unsymmetric_gmres_and_bicgstab():
+    """Complex non-hermitian system through sharded GMRES (psum MGS) and
+    BiCGSTAB (sharded rmatvec-capable route)."""
+    n = 64
+    rng = np.random.default_rng(10)
+    T = scipy.sparse.diags(
+        [(-1 + 0.7j) * np.ones(n - 1), (3.0 + 0.3j) * np.ones(n),
+         (-0.5 - 0.2j) * np.ones(n - 1)],
+        [-1, 0, 1], format="csr",
+    )
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    x_ref = scipy.sparse.linalg.spsolve(T.tocsc(), np.asarray(b))
+    for solver in (krylov_tpu.gmres, krylov_tpu.bicgstab):
+        sol, info = parallel.sharded_solve(
+            solver, T, b, mesh=_mesh(), tol=1e-10, maxiter=200
+        )
+        assert info.success, solver.__name__
+        np.testing.assert_allclose(np.asarray(sol), x_ref, atol=1e-7)
