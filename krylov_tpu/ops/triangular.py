@@ -205,6 +205,30 @@ def level_arrays(sp_tri, lower=True, max_levels=1024):
     return n, levels
 
 
+def make_triangular_solve(sp_tri, lower=True, max_levels=4096,
+                          unroll_threshold=64):
+    """Pick the right level-scheduled solve for a factor's depth.
+
+    Shallow factors (<= ``unroll_threshold`` levels) get the unrolled
+    :class:`LevelScheduledTriangularSolve` (no scan overhead, XLA fuses
+    across stages); deeper ones get the scan-based
+    :class:`StackedTriangularSweep`, whose compiled program is O(1) in
+    the level count (a deep unrolled factor inside a solver while_loop
+    costs tens of seconds of compile time)."""
+    n, levels = level_arrays(sp_tri, lower=lower, max_levels=max_levels)
+    if len(levels) <= unroll_threshold:
+        return LevelScheduledTriangularSolve(
+            sp_tri, lower=lower, max_levels=max_levels
+        )
+    rows, diag, dat, col, lrow = stacked_level_arrays(
+        [sp_tri], n, lower=lower, max_levels=max_levels
+    )
+    return StackedTriangularSweep(
+        jnp.asarray(rows[0]), jnp.asarray(diag[0]), jnp.asarray(dat[0]),
+        jnp.asarray(col[0]), jnp.asarray(lrow[0]), n,
+    )
+
+
 def stacked_level_arrays(factors, n, lower=True, max_levels=4096,
                          dtype=None):
     """Pad the dependency levels of one or more same-size triangular

@@ -132,16 +132,18 @@ def _sparse_for_levels(A):
 
 
 def _level_solve(sp_csr, lower, diag_scale=None):
-    """Level-scheduled solve of the (diag-rescaled) triangle of ``sp_csr``."""
+    """Level-scheduled solve of the (diag-rescaled) triangle of ``sp_csr``
+    (unrolled stages for shallow factors, one ``lax.scan`` for deep ones —
+    see :func:`~krylov_tpu.ops.triangular.make_triangular_solve`)."""
     import scipy.sparse
 
-    from ..ops.triangular import LevelScheduledTriangularSolve
+    from ..ops.triangular import make_triangular_solve
 
     tri = (scipy.sparse.tril if lower else scipy.sparse.triu)(sp_csr).tocsr()
     if diag_scale is not None:
         tri = tri.copy()
         tri.setdiag(tri.diagonal() / diag_scale)
-    return LevelScheduledTriangularSolve(tri, lower=lower)
+    return make_triangular_solve(tri, lower=lower, max_levels=1024)
 
 
 def _diagonal(A):

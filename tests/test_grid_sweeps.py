@@ -148,3 +148,71 @@ def test_level_scheduled_sor_ssor_large_sparse():
         assert info.success, solver.__name__
         r = b - A @ np.asarray(sol)
         assert np.linalg.norm(r) <= 1e-5 * (1 + np.linalg.norm(b))
+
+
+def test_make_triangular_solve_deep_factor_uses_scan():
+    """A deep dependency chain (tridiagonal: one level per row) routes to
+    the O(1)-program StackedTriangularSweep and still matches scipy; a
+    shallow factor keeps the unrolled engine."""
+    import scipy.sparse
+    import scipy.sparse.linalg as spla
+
+    from krylov_tpu.ops.triangular import (
+        LevelScheduledTriangularSolve,
+        StackedTriangularSweep,
+        make_triangular_solve,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 300
+    L = scipy.sparse.diags(
+        [2.0 + rng.random(n), 0.3 * rng.standard_normal(n - 1)],
+        [0, -1],
+    ).tocsr()
+    solve = make_triangular_solve(L, lower=True)
+    assert isinstance(solve, StackedTriangularSweep)
+    b = rng.standard_normal((n, 2))
+    want = spla.spsolve_triangular(L, b, lower=True)
+    np.testing.assert_allclose(
+        np.asarray(solve(jnp.asarray(b))), want, rtol=1e-12, atol=1e-13
+    )
+
+    shallow = scipy.sparse.diags([2.0 + rng.random(16)], [0]).tocsr()
+    assert isinstance(
+        make_triangular_solve(shallow, lower=True),
+        LevelScheduledTriangularSolve,
+    )
+
+
+def test_gauss_seidel_deep_banded_sparse_matches_scipy():
+    """GS on a sparse tridiagonal system (dependency depth == n, far past
+    the unroll threshold) runs through the scan sweep and reproduces the
+    scipy spsolve_triangular trajectory."""
+    import scipy.sparse
+    import scipy.sparse.linalg as spla
+
+    rng = np.random.default_rng(6)
+    n = 500
+    off = 0.45 * rng.standard_normal(n - 1)
+    A = scipy.sparse.diags(
+        [off, 2.0 + rng.random(n), 0.45 * rng.standard_normal(n - 1)],
+        [-1, 0, 1],
+    ).tocsr()
+    b = rng.standard_normal(n)
+
+    sol, info = krylov_tpu.gauss_seidel(
+        A, jnp.asarray(b), tol=1e-8, maxiter=60, backend="while_loop"
+    )
+    assert info.success
+
+    L = scipy.sparse.tril(A).tocsr()
+    x = np.zeros(n)
+    r = b.copy()
+    ref = [np.linalg.norm(r)]
+    for _ in range(info.numsteps):
+        x = x + spla.spsolve_triangular(L, r, lower=True)
+        r = b - A @ x
+        ref.append(np.linalg.norm(r))
+    np.testing.assert_allclose(
+        np.asarray(info.resnorms), np.asarray(ref), rtol=1e-9, atol=1e-12
+    )

@@ -150,3 +150,18 @@ def test_amg_stalled_coarsening_degenerates_to_smoothing():
     assert info.success
     assert info.numsteps <= 12
     assert np.max(np.abs(np.asarray(sol) - B1 / D.diagonal())) < 1e-8
+
+
+def test_amg_with_rhs_axis_data_parallelism():
+    """M_partition composes with shard_rhs: a (rows=4, rhs=2) mesh splits
+    RHS columns over the rhs axis while the cycle's psum stays on rows."""
+    part = partition_amg(A, 4)
+    Bk = RNG.standard_normal((N, 4))
+    sol, info = sharded_solve(
+        krylov_tpu.cg, A, Bk, mesh=make_mesh(4, 2), shard_rhs=True,
+        tol=1e-9, M_partition=part,
+    )
+    assert info.success
+    assert info.numsteps <= 25
+    X_ref = scipy.sparse.linalg.spsolve(A.tocsc(), Bk)
+    assert np.max(np.abs(np.asarray(sol) - X_ref)) < 1e-6
