@@ -25,6 +25,7 @@ from .stationary import (
     ssor,
 )
 from .symmlq import symmlq
+from .tfqmr import tfqmr
 
 __all__ = [
     "gauss_seidel",
@@ -53,4 +54,5 @@ __all__ = [
     "qmr",
     "refine",
     "symmlq",
+    "tfqmr",
 ]

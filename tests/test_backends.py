@@ -36,6 +36,7 @@ CASES = {
     "gcr": ["spd", "real_unsymm"],
     "cgne": ["spd", "real_unsymm"],
     "cgnr": ["spd"],
+    "tfqmr": ["spd", "hpd", "real_unsymm"],
     "chebyshev": ["spd"],
     "richardson": ["spd"],
     "jacobi": ["spd"],

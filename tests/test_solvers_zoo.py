@@ -43,6 +43,8 @@ CASES = {
     "gcr": [spd((5,)), hpd(), symmetric_indefinite(), hermitian_indefinite()],
     "cgne": [spd((5,)), real_unsymmetric(), complex_unsymmetric()],
     "cgnr": [spd((5,)), real_unsymmetric()],
+    # tfqmr is an extension (no reference counterpart): transpose-free QMR
+    "tfqmr": SPD_FAMILY + HERM + NONSYM,
 }
 
 # cgnr's resnorms are normal-equations residuals ||A^H b - A^H A x||, so the
