@@ -363,30 +363,41 @@ def main():
             cg_s = min(cg_s, time.perf_counter() - t0)
         extras["cg100_ms"] = round(cg_s * 1e3, 2)
 
-        # multigrid-preconditioned CG, time-to-tolerance at the same
-        # headline size: one V(2,2) cycle per iteration collapses the
-        # O(n) iteration count to ~15, the largest solver-level lever in
-        # the library (plain CG needs thousands of iterations here — see
-        # cg100_ms for the per-100-iteration cost)
+        # multigrid-preconditioned CG, time-to-tolerance at the headline
+        # size (16.7M rows), manufactured solution b = A x*.  Two points
+        # make this an honest f32 benchmark:
+        #   * criterion: tol 1e-6 RELATIVE explicit residual.  The f32
+        #     attainable floor is ~eps*(||A|| ||x*|| + ||b||)/||b||; with
+        #     b = A x* and x* ~ N(0,1) that is ~1e-6..1e-5 margin below
+        #     nothing, whereas b = ones drives ||x||/||b|| ~ 1/lambda_min
+        #     ~ N and the floor to O(0.1): NO solver can reach 1e-6 there
+        #     in f32 — the round-3 bench criterion was unattainable.
+        #   * the V(2,2) cycle with order-2 (bilinear) transfer is
+        #     mesh-independent: ~10 iterations at every size (ladder test
+        #     tests/test_multigrid.py::test_mg_mesh_independence_ladder),
+        #     where plain CG needs O(sqrt(cond)) ~ thousands (measured
+        #     rate extrapolation reported as cg_plain_est_s below).
         from krylov_tpu import MultigridPreconditioner
         from krylov_tpu import cg as cg_generic
 
         Mmg = MultigridPreconditioner(Ac)
+        xstar = jnp.asarray(rng.standard_normal(Ac.grid), jnp.float32)
+        b_mg = Ac @ xstar
 
         @jax.jit
         def solve_mg(b):
             _, info = cg_generic(
                 Ac, b, M=Mmg, inner=lambda u, v: jnp.sum(u * v),
-                tol=1e-6, maxiter=60, backend="while_loop",
+                tol=1e-6, maxiter=30, backend="while_loop",
             )
-            return info.resnorms, jnp.asarray(info.numsteps)
+            return info.resnorms, jnp.asarray(info.numsteps), info.xk
 
-        buf_mg, k_mg = solve_mg(b)
+        buf_mg, k_mg, x_mg = solve_mg(b_mg)
         float(jnp.sum(buf_mg))
         mg_s = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            buf_mg, k_mg = solve_mg(b)
+            buf_mg, k_mg, x_mg = solve_mg(b_mg)
             float(jnp.sum(buf_mg))
             mg_s = min(mg_s, time.perf_counter() - t0)
         kmg = int(k_mg)
@@ -396,6 +407,43 @@ def main():
         extras["cg_mg_converged"] = bool(
             bmg[kmg] <= 1e-6 * bmg[0] + 1e-15
         )
+        # forward error of the converged iterate against the manufactured
+        # solution (the criterion the residual test stands in for)
+        fwd = float(
+            jnp.linalg.norm((x_mg - xstar).ravel())
+            / jnp.linalg.norm(xstar.ravel())
+        )
+        extras["cg_mg_fwd_err"] = float(f"{fwd:.3g}")
+
+        # plain-CG comparison on the same system: measure the asymptotic
+        # residual rate over 1500 iterations and extrapolate iterations /
+        # time to the same 1e-6 tolerance (running it to convergence
+        # would take minutes; the rate is stable after ~1000 iterations)
+        @jax.jit
+        def solve_plain(b):
+            _, info = cg_stencil(
+                Ac, b, tol=0.0, atol=0.0, maxiter=1500, fused=True
+            )
+            return info.resnorms
+
+        bufp = solve_plain(b_mg)
+        float(jnp.sum(bufp))
+        t0 = time.perf_counter()
+        bufp = solve_plain(b_mg)
+        float(jnp.sum(bufp))
+        plain_s = time.perf_counter() - t0
+        bp = np.asarray(bufp)
+        rel1500 = float(bp[1500] / bp[0])
+        # per-iteration contraction from the second half (asymptotic)
+        rate = (bp[1500] / bp[750]) ** (1.0 / 750)
+        est_iters = int(
+            1500 + np.log(1e-6 / max(rel1500, 1e-30)) / np.log(rate)
+        ) if rate < 1 else -1
+        extras["cg_plain_1500_rel"] = float(f"{rel1500:.3g}")
+        extras["cg_plain_est_iters"] = est_iters
+        est_s = plain_s / 1500 * est_iters if est_iters > 0 else float("nan")
+        extras["cg_plain_est_s"] = round(est_s, 2)
+        extras["cg_mg_speedup_est"] = round(est_s / mg_s, 1)
 
         # ---- solver time-to-tolerance on a 1M-row Poisson CSR through
         # the PET kernel (BASELINE configs 1 and 4: GMRES on the

@@ -19,9 +19,12 @@ count is static, so the whole V-cycle inlines into the compiled
 Scaling convention: the unit-spacing stencil ``h^2 (-Lap)`` is reused
 UNCHANGED at every level; coarsening doubles ``h``, so the restricted
 residual picks up the factor ``h_c^2 / h^2 = 4`` — folded into the
-restriction weight ``4 / 2^d`` per d-dimensional 2x2..x2 block sum.
-Prolongation is piecewise-constant (block repeat), the transpose of the
-block sum, keeping the cycle symmetric enough for CG in practice.
+restriction scale ``4 / 2^d``.  Transfer is order-2: cell-centered
+multilinear interpolation with its exact transpose as restriction
+(full weighting) — see the note at :func:`_lin_prolong_axis`; the
+piecewise-constant (block repeat / block sum) pair is kept only for
+the traced shard-local Galerkin coarsening, where it is exact
+variational (``A_c = P^T A P``) and therefore safe, if slower.
 """
 
 import numpy as np
@@ -55,6 +58,177 @@ def _block_prolong(x, nd):
     for ax in range(nd):
         x = jnp.repeat(x, 2, axis=ax)
     return x
+
+
+# -- order-2 (cell-centered bilinear) transfer --------------------------
+#
+# Piecewise-constant transfer has interpolation order 1; the two-grid
+# accuracy rule m_P + m_R > 2m (m = 1 for 2nd-order elliptic operators)
+# then fails (1 + 1 = 2), which is exactly the observed mesh-DEPENDENT
+# V-cycle: iteration counts grow with every refinement and the 4096^2
+# bench case stalls.  Cell-centered linear interpolation (1-D weights
+# 3/4, 1/4 toward the nearer/farther coarse neighbor; tensor-product
+# across axes) and its exact transpose as restriction give order 2 + 2,
+# restoring the textbook mesh-independent rate (~0.1 per V(2,2) cycle).
+#
+# Boundary ghosts use the Dirichlet convention ``c[-1] = -c[0]`` (the
+# error vanishes at the wall half a cell outside the boundary cell
+# center), matching the rediscretized Dirichlet coarse stencils.
+# Restriction is the EXACT adjoint of prolongation (including the ghost
+# corrections), which keeps the equal-pre/post-smoothing V-cycle
+# symmetric — the property CG needs from its preconditioner.
+
+
+def _lin_prolong_axis(x, ax):
+    m = x.shape[ax]
+
+    def sl(a, b):
+        s = [slice(None)] * x.ndim
+        s[ax] = slice(a, b)
+        return tuple(s)
+
+    first, last = x[sl(0, 1)], x[sl(m - 1, m)]
+    cm = jnp.concatenate([-first, x[sl(0, m - 1)]], axis=ax)
+    cp = jnp.concatenate([x[sl(1, m)], -last], axis=ax)
+    even = 0.75 * x + 0.25 * cm
+    odd = 0.75 * x + 0.25 * cp
+    y = jnp.stack([even, odd], axis=ax + 1)
+    return y.reshape(x.shape[:ax] + (2 * m,) + x.shape[ax + 1:])
+
+
+def _lin_prolong(x, nd):
+    """Cell-centered multilinear interpolation over the leading nd axes."""
+    for ax in range(nd):
+        x = _lin_prolong_axis(x, ax)
+    return x
+
+
+def _lin_restrict_axis(x, ax):
+    m = x.shape[ax] // 2
+    xr = x.reshape(x.shape[:ax] + (m, 2) + x.shape[ax + 1:])
+
+    def sel(k):
+        s = [slice(None)] * xr.ndim
+        s[ax + 1] = k
+        return xr[tuple(s)]
+
+    even, odd = sel(0), sel(1)
+
+    def sl(arr, a, b):
+        s = [slice(None)] * arr.ndim
+        s[ax] = slice(a, b)
+        return arr[tuple(s)]
+
+    zero = jnp.zeros_like(sl(even, 0, 1))
+    even_next = jnp.concatenate([sl(even, 1, m), zero], axis=ax)
+    odd_prev = jnp.concatenate([zero, sl(odd, 0, m - 1)], axis=ax)
+    t = 0.75 * (even + odd) + 0.25 * even_next + 0.25 * odd_prev
+    # exact adjoint of the Dirichlet ghost terms at the two walls
+    tf = sl(t, 0, 1) - 0.25 * sl(even, 0, 1)
+    tl = sl(t, m - 1, m) - 0.25 * sl(odd, m - 1, m)
+    return jnp.concatenate([tf, sl(t, 1, m - 1), tl], axis=ax)
+
+
+def _lin_restrict(x, nd, scale):
+    """Exact transpose of :func:`_lin_prolong`, scaled (full weighting)."""
+    for ax in range(nd):
+        x = _lin_restrict_axis(x, ax)
+    return x * scale
+
+
+def _lead_lin_restrict_axis(x, axis):
+    """Sharded-axis twin of :func:`_lin_restrict_axis` for the leading
+    (row-partitioned) grid axis inside ``shard_map``: one boundary plane
+    travels to each mesh neighbor by ``ppermute`` (zeros arrive at the
+    mesh edges), and the Dirichlet ghost corrections apply only on the
+    first/last shard — so the distributed restriction is exactly the
+    single-device operator."""
+    from .parallel.banded import _identity_perm_shift
+
+    m = x.shape[0] // 2
+    xr = x.reshape((m, 2) + x.shape[1:])
+    even, odd = xr[:, 0], xr[:, 1]
+    n_sh = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    ev_next = lax.ppermute(even[:1], axis, _identity_perm_shift(n_sh, -1))
+    od_prev = lax.ppermute(odd[-1:], axis, _identity_perm_shift(n_sh, +1))
+    even_next = jnp.concatenate([even[1:], ev_next], axis=0)
+    odd_prev = jnp.concatenate([od_prev, odd[:-1]], axis=0)
+    t = 0.75 * (even + odd) + 0.25 * even_next + 0.25 * odd_prev
+    t = t.at[:1].add(jnp.where(idx == 0, -0.25 * even[:1], 0))
+    t = t.at[m - 1:].add(jnp.where(idx == n_sh - 1, -0.25 * odd[-1:], 0))
+    return t
+
+
+def _lead_lin_prolong_axis(x, axis):
+    """Sharded-axis twin of :func:`_lin_prolong_axis` (see above)."""
+    from .parallel.banded import _identity_perm_shift
+
+    n_sh = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    c_prev = lax.ppermute(x[-1:], axis, _identity_perm_shift(n_sh, +1))
+    c_next = lax.ppermute(x[:1], axis, _identity_perm_shift(n_sh, -1))
+    c_prev = jnp.where(idx == 0, -x[:1], c_prev)
+    c_next = jnp.where(idx == n_sh - 1, -x[-1:], c_next)
+    cm = jnp.concatenate([c_prev, x[:-1]], axis=0)
+    cp = jnp.concatenate([x[1:], c_next], axis=0)
+    even = 0.75 * x + 0.25 * cm
+    odd = 0.75 * x + 0.25 * cp
+    y = jnp.stack([even, odd], axis=1)
+    return y.reshape((2 * x.shape[0],) + x.shape[1:])
+
+
+def _sharded_lin_restrict(x, nd, scale, axis):
+    x = _lead_lin_restrict_axis(x, axis)
+    for ax in range(1, nd):
+        x = _lin_restrict_axis(x, ax)
+    return x * scale
+
+
+def _sharded_lin_prolong(x, nd, axis):
+    x = _lead_lin_prolong_axis(x, axis)
+    for ax in range(1, nd):
+        x = _lin_prolong_axis(x, ax)
+    return x
+
+
+def _bilinear_P_1d(m):
+    """The 1-D cell-centered linear prolongation (2m, m) as scipy CSR —
+    the explicit-matrix twin of :func:`_lin_prolong_axis`, used for the
+    exact Galerkin triple product ``P^T A P`` on variable coefficients."""
+    import scipy.sparse
+
+    rows, cols, vals = [], [], []
+    for I in range(m):
+        rows += [2 * I, 2 * I + 1]
+        cols += [I, I]
+        vals += [0.75, 0.75]
+        # even neighbor (I-1); Dirichlet ghost folds -1/4 onto I at the wall
+        rows.append(2 * I)
+        cols.append(I - 1 if I > 0 else 0)
+        vals.append(0.25 if I > 0 else -0.25)
+        # odd neighbor (I+1)
+        rows.append(2 * I + 1)
+        cols.append(I + 1 if I < m - 1 else m - 1)
+        vals.append(0.25 if I < m - 1 else -0.25)
+    return scipy.sparse.csr_matrix(
+        (vals, (rows, cols)), shape=(2 * m, m)
+    )
+
+
+def _scipy_to_planes(A_sp, mx, my):
+    """Split a (mx*my, mx*my) scipy CSR grid operator into coefficient
+    planes ``(ndiag, mx, my)`` keyed by 2-D offsets (dr, dc)."""
+    coo = A_sp.tocoo()
+    I, J = coo.row // my, coo.row % my
+    dr = coo.col // my - I
+    dc = coo.col % my - J
+    keys = sorted(set(zip(dr.tolist(), dc.tolist())))
+    planes = np.zeros((len(keys), mx, my), A_sp.dtype)
+    for k, (a, b) in enumerate(keys):
+        sel = (dr == a) & (dc == b)
+        planes[k][I[sel], J[sel]] = coo.data[sel]
+    return planes, tuple(k[0] for k in keys), tuple(k[1] for k in keys)
 
 
 def _galerkin_coarsen_2d(coeffs, row_offsets, col_offsets):
@@ -93,8 +267,11 @@ class MultigridPreconditioner:
       grid) **or** a variable-coefficient 2-D
       :class:`~krylov_tpu.ops.stencil.GridStencilOperator` (each coarse
       level is the exact Galerkin triple product ``P^T A P`` for the
-      block-repeat transfer, computed once on host — a 5-point fine
-      stencil becomes 9-point coarse stencils).
+      cell-centered BILINEAR transfer, computed once on host — a 5/9-point
+      fine stencil becomes 25-point coarse stencils, closed under
+      further coarsening).  Both paths use the order-2 transfer pair
+      (multilinear P, R = scale * P^T), which is what makes the V-cycle
+      iteration count mesh-INDEPENDENT (see :func:`_lin_prolong_axis`).
     * ``smooth`` — pre- and post-smoothing sweeps of weighted Jacobi.
     * ``omega`` — Jacobi damping (0.8 suits the 5/7-point Laplacian).
     * ``n_levels`` — cap on the hierarchy depth (default: halve while all
@@ -138,38 +315,64 @@ class MultigridPreconditioner:
             # rediscretized levels reuse the unit-spacing stencil, so the
             # restriction carries the h_c^2/h^2 factor
             self._r_scale = 4.0 / (2 ** len(A.shape_nd))
+            nc = 1
+            for s in shapes[-1]:
+                nc *= s
+            if nc <= 4096 and len(ops) > 1:
+                # exact coarsest solve (tiny dense inverse) removes the
+                # coarse-solve error term from the mesh-independence bound
+                dense = np.asarray(
+                    ops[-1].toscipy().toarray(), dtype=np.float64
+                )
+                try:
+                    inv = np.linalg.inv(dense)
+                except np.linalg.LinAlgError:
+                    inv = np.linalg.pinv(dense)
+                self._coarse_inv = jnp.asarray(inv, dtype=A.dtype)
         elif isinstance(A, GridStencilOperator):
             if not A.hermitian:
                 raise ValueError(
                     "multigrid preconditioning needs a hermitian (SPD) "
                     "operator (the cycle advertises hermitian=True)"
                 )
-            if any(r not in (-1, 0, 1) for r in A.row_offsets) or any(
-                c not in (-1, 0, 1) for c in A.col_offsets
+            if any(r not in (-2, -1, 0, 1, 2) for r in A.row_offsets) or any(
+                c not in (-2, -1, 0, 1, 2) for c in A.col_offsets
             ):
                 raise ValueError(
-                    "Galerkin multigrid supports nearest-neighbor 2-D "
-                    f"stencils; got row/col offsets {A.row_offsets}/"
+                    "Galerkin multigrid supports 2-D stencils with "
+                    f"row/col offsets in [-2, 2]; got {A.row_offsets}/"
                     f"{A.col_offsets} (3-D grid operators collapse x into "
                     "grid rows — use AMGPreconditioner there)"
                 )
+            # exact variational hierarchy: A_c = P^T A P with the
+            # cell-centered BILINEAR P (order-2 transfer; a 5/9-point fine
+            # stencil becomes 25-point coarse stencils, closed under
+            # further coarsening).  One host-side scipy pass at setup.
             ops, winv, shapes = [A], [], [tuple(A.grid)]
-            cc = np.asarray(A.coeffs2d)
-            ro, co = A.row_offsets, A.col_offsets
+            A_sp = A.toscipy().astype(np.float64)
             while _can_halve(shapes[-1]) and (
                 n_levels is None or len(shapes) < n_levels
             ):
-                cc, ro, co = _galerkin_coarsen_2d(cc, ro, co)
-                ny_c = cc.shape[2]
+                import scipy.sparse
+
+                mx, my = shapes[-1]
+                P = scipy.sparse.kron(
+                    _bilinear_P_1d(mx // 2), _bilinear_P_1d(my // 2),
+                    format="csr",
+                )
+                A_sp = (P.T @ A_sp @ P).tocsr()
+                cc, ro, co = _scipy_to_planes(A_sp, mx // 2, my // 2)
+                ny_c = my // 2
                 offs = tuple(
                     r * ny_c + c for r, c in zip(ro, co)
                 )
                 ops.append(
                     GridStencilOperator(
-                        jnp.asarray(cc), offs, ny_c, hermitian=A.hermitian
+                        jnp.asarray(cc.astype(np.asarray(A.coeffs2d).dtype)),
+                        offs, ny_c, hermitian=A.hermitian,
                     )
                 )
-                shapes.append(tuple(cc.shape[1:]))
+                shapes.append((mx // 2, ny_c))
             # per-level Jacobi weights from each level's own diagonal
             for op in ops:
                 d = op.diagonal().reshape(op.grid)
@@ -180,12 +383,14 @@ class MultigridPreconditioner:
             if nc <= 4096:
                 # exact coarse solve as one dense matmul (also keeps the
                 # unrolled coarse-Jacobi chain out of the compiled graph)
-                dense = np.asarray(ops[-1].todense())
+                dense = A_sp.toarray()
                 try:
                     inv = np.linalg.inv(dense)
                 except np.linalg.LinAlgError:
                     inv = np.linalg.pinv(dense)
-                self._coarse_inv = jnp.asarray(inv)
+                self._coarse_inv = jnp.asarray(
+                    inv.astype(np.asarray(A.coeffs2d).dtype)
+                )
         else:
             raise TypeError(
                 "MultigridPreconditioner needs a ConstStencilOperator or "
@@ -211,13 +416,12 @@ class MultigridPreconditioner:
 
     hermitian = True
 
-    # -- grid transfer -------------------------------------------------
+    # -- grid transfer (order-2: multilinear P, R = scale * P^T) --------
     def _restrict(self, x, nd):
-        # x: shape_nd(+tail) -> halved spatial dims, scaled block sum
-        return _block_restrict(x, nd, self._r_scale)
+        return _lin_restrict(x, nd, self._r_scale)
 
     def _prolong(self, x, nd):
-        return _block_prolong(x, nd)
+        return _lin_prolong(x, nd)
 
     # -- smoothing -----------------------------------------------------
     def _wmul(self, level, r):
@@ -243,7 +447,9 @@ class MultigridPreconditioner:
         if level == len(self._ops) - 1:
             if self._coarse_inv is not None:
                 sh = self._nd_shapes[level]
-                nc = sh[0] * sh[1]
+                nc = 1
+                for s in sh:
+                    nc *= s
                 r2 = r.reshape((nc,) + r.shape[len(sh):])
                 z2 = jnp.tensordot(self._coarse_inv, r2, axes=1)
                 return z2.reshape(r.shape)
@@ -305,9 +511,12 @@ class ShardedMultigridPreconditioner:
       (the Pallas/XLA const-stencil kernel on the local slab + one halo
       ``ppermute`` pair over ICI), so every Jacobi sweep costs exactly
       one neighbor exchange and zero allreduces;
-    * **restriction / prolongation** — the sharded axis halves
-      shard-locally (each shard's slab of ``2m`` leading cells block-sums
-      to ``m``), so grid transfer is pure local reshape arithmetic;
+    * **restriction / prolongation** — order-2 multilinear transfer
+      (:func:`_lin_prolong_axis`); along the sharded axis each shard
+      exchanges ONE boundary plane with its mesh neighbors per transfer
+      (:func:`_lead_lin_restrict_axis`), the other axes are local
+      reshape arithmetic — so the distributed cycle is exactly the
+      single-device cycle, including its mesh-independent rate;
     * **coarsest level** — once a shard's slab can no longer halve, the
       (tiny) coarse residual is ``all_gather``\\ ed and every shard
       redundantly runs the same single-device
@@ -425,8 +634,10 @@ class ShardedMultigridPreconditioner:
         z = w * r  # first Jacobi sweep from zero, no matvec needed
         z = self._smooth(level, z, r, self.smooth - 1)
         d = r - self._apply(level, z)
-        e = self._vcycle(level + 1, _block_restrict(d, nd, self._r_scale))
-        z = z + _block_prolong(e, nd)
+        e = self._vcycle(
+            level + 1, _sharded_lin_restrict(d, nd, self._r_scale, self.axis)
+        )
+        z = z + _sharded_lin_prolong(e, nd, self.axis)
         return self._smooth(level, z, r, self.smooth)
 
     def __matmul__(self, r):

@@ -91,9 +91,8 @@ class BandedOperator:
             return self.coeffs[self.offsets.index(0)]
         return jnp.zeros(self.coeffs.shape[1], self.dtype)
 
-    def tocsr(self):
-        from .sparse import CSROperator
-
+    def toscipy(self):
+        """Host-side scipy CSR twin (setup/analysis paths only)."""
         import scipy.sparse
 
         n = self.coeffs.shape[1]
@@ -104,11 +103,15 @@ class BandedOperator:
             rows.append(i)
             cols.append(i + off)
             vals.append(cf[d, i])
-        sp = scipy.sparse.csr_matrix(
+        return scipy.sparse.csr_matrix(
             (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
             shape=(n, n),
         )
-        return CSROperator.from_scipy(sp)
+
+    def tocsr(self):
+        from .sparse import CSROperator
+
+        return CSROperator.from_scipy(self.toscipy())
 
     def todense(self):
         n = self.coeffs.shape[1]
@@ -628,10 +631,9 @@ class ConstStencilOperator:
                 w0 += w
         return jnp.full(self.shape[0], w0, self.dtype)
 
-    def tocsr(self):
+    def toscipy(self):
+        """Host-side scipy CSR twin (setup/analysis paths only)."""
         import scipy.sparse
-
-        from .sparse import CSROperator
 
         nd = self.shape_nd
         N = self._M * self.ny
@@ -647,11 +649,15 @@ class ConstStencilOperator:
             rows.append(idx[valid])
             cols.append(j[valid])
             vals.append(np.full(valid.sum(), w))
-        sp = scipy.sparse.csr_matrix(
+        return scipy.sparse.csr_matrix(
             (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
             shape=(N, N),
         )
-        return CSROperator.from_scipy(sp)
+
+    def tocsr(self):
+        from .sparse import CSROperator
+
+        return CSROperator.from_scipy(self.toscipy())
 
     def tree_flatten(self):
         return (), (self.shape_nd, self.offsets_nd, self.weights, self.dtype)

@@ -77,14 +77,21 @@ def tfqmr(
 
     ``maxiter`` counts half-steps (= matvecs), matching scipy's ``tfqmr``
     accounting; ``maxiter=None`` defaults to ``2 N`` since one Krylov
-    dimension costs two half-steps.
+    dimension costs two half-steps.  An explicit ``maxiter`` (including
+    ``maxiter=N``) is honored verbatim.
+
+    ``callback(x, w)`` receives the CGS residual-chain vector ``w`` as
+    its second argument — NOT ``b - A x`` of the quasi-minimized iterate
+    (computing that would cost an extra matvec per half-step); the
+    pre-loop call and the driver's final explicit re-check do use the
+    true residual.
     """
+    was_none = maxiter is None
     A, b, x0_arr, N, inner, maxiter = setup(
         A, b, x0=x0, inner=inner, maxiter=maxiter
     )
-    if maxiter == N:
-        # setup's generic None -> N default: a full Krylov sweep is 2N
-        # half-steps for this method
+    if was_none:
+        # a full Krylov sweep is 2N half-steps for this method
         maxiter = 2 * N
     M = preconditioner(M)
 

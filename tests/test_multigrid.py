@@ -30,6 +30,46 @@ def test_mg_cg_2d_iteration_collapse():
     assert np.linalg.norm(r) <= 1e-7 * (1 + np.linalg.norm(np.asarray(b)))
 
 
+def test_mg_mesh_independence_ladder():
+    """The V(2,2) iteration count is mesh-INDEPENDENT: the order-2
+    (bilinear) transfer pair satisfies m_P + m_R = 4 > 2m = 2, so the
+    two-grid rate is bounded away from 1 uniformly in h.  (The former
+    piecewise-constant transfer, order 1 + 1 = 2, failed this bound and
+    grew 15 -> 20+ iterations over this same ladder, stalling at the
+    4096^2 bench scale.)"""
+    rng = np.random.default_rng(11)
+    iters = {}
+    for n in (128, 256, 512, 1024):
+        A = stencil.poisson_2d_const(n, n, dtype=np.float64)
+        M = MultigridPreconditioner(A)
+        b = jnp.asarray(rng.standard_normal((n, n)))
+        _, info = krylov.cg(A, b, M=M, inner=INNER, tol=1e-8, maxiter=40)
+        assert info.success, f"n={n} did not converge"
+        iters[n] = int(info.numsteps)
+    assert max(iters.values()) <= 12, iters
+    assert max(iters.values()) - min(iters.values()) <= 2, iters
+
+
+def test_mg_galerkin_mesh_independence_ladder():
+    """Same mesh-independence property on the variable-coefficient
+    bilinear-Galerkin hierarchy."""
+    rng = np.random.default_rng(12)
+    iters = {}
+    for n in (64, 128, 256):
+        X, Y = np.meshgrid(
+            np.linspace(0, 1, n), np.linspace(0, 1, n), indexing="ij"
+        )
+        a = 1.0 + 0.9 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
+        A = stencil.diffusion_2d(np.broadcast_to(a, (n, n)))
+        M = MultigridPreconditioner(A)
+        b = jnp.asarray(rng.standard_normal((n, n)))
+        _, info = krylov.cg(A, b, M=M, inner=INNER, tol=1e-8, maxiter=40)
+        assert info.success, f"n={n} did not converge"
+        iters[n] = int(info.numsteps)
+    assert max(iters.values()) <= 10, iters
+    assert max(iters.values()) - min(iters.values()) <= 2, iters
+
+
 def test_mg_cg_3d():
     A = stencil.poisson_3d_const(32, 32, 16, dtype=np.float64)
     b = jnp.asarray(RNG.standard_normal((32 * 32, 16)))
@@ -75,14 +115,14 @@ def test_mg_vector_shapes_and_blocking():
     zf = M @ bg.reshape(-1)
     zg = M @ bg
     np.testing.assert_allclose(
-        np.asarray(zf), np.asarray(zg).reshape(-1), rtol=1e-13
+        np.asarray(zf), np.asarray(zg).reshape(-1), rtol=1e-13, atol=1e-14
     )
     # blocked RHS columns are independent
     bk = jnp.asarray(RNG.standard_normal((64, 64, 3)))
     zk = M @ bk
     z0 = M @ bk[:, :, 1]
     np.testing.assert_allclose(
-        np.asarray(zk[:, :, 1]), np.asarray(z0), rtol=1e-13
+        np.asarray(zk[:, :, 1]), np.asarray(z0), rtol=1e-13, atol=1e-14
     )
 
 
@@ -141,15 +181,34 @@ def test_mg_galerkin_compiled_and_consistency():
     A = _var_diffusion(nx, ny, a)
 
     # exact Galerkin check at the first level against dense algebra
+    # (P is the cell-centered bilinear prolongation, R = P^T)
+    import scipy.sparse
+
+    from krylov_tpu.multigrid import _bilinear_P_1d
+
     M = MultigridPreconditioner(A)
     Ad = np.asarray(A.todense())
-    P = np.zeros((nx * ny, (nx // 2) * (ny // 2)))
-    for i in range(nx):
-        for j in range(ny):
-            P[i * ny + j, (i // 2) * (ny // 2) + j // 2] = 1.0
+    P = scipy.sparse.kron(
+        _bilinear_P_1d(nx // 2), _bilinear_P_1d(ny // 2)
+    ).toarray()
     Ac_ref = P.T @ Ad @ P
     Ac = np.asarray(M._ops[1].todense())
     np.testing.assert_allclose(Ac, Ac_ref, rtol=1e-12, atol=1e-12)
+
+    # and the device-side transfer functions ARE that P / P^T
+    from krylov_tpu.multigrid import _lin_prolong, _lin_restrict
+
+    rng = np.random.default_rng(5)
+    c = rng.standard_normal((nx // 2, ny // 2))
+    f = rng.standard_normal((nx, ny))
+    np.testing.assert_allclose(
+        np.asarray(_lin_prolong(jnp.asarray(c), 2)).reshape(-1),
+        P @ c.reshape(-1), rtol=1e-12, atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(_lin_restrict(jnp.asarray(f), 2, 1.0)).reshape(-1),
+        P.T @ f.reshape(-1), rtol=1e-12, atol=1e-13,
+    )
 
     b = jnp.asarray(RNG.standard_normal((nx, ny)))
     _, ie = krylov.cg(A, b, M=M, inner=INNER, tol=1e-9, maxiter=300)

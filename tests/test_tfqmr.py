@@ -109,3 +109,16 @@ def test_maxiter_default_is_two_sweeps():
     sol, info = krylov.tfqmr(A, b, tol=1e-300, atol=1e-300)
     assert not info.success
     assert info.numsteps == 2 * n
+
+
+def test_maxiter_explicit_N_not_doubled():
+    """An explicit maxiter equal to N is honored verbatim (round-3
+    advisor finding: the old N-sentinel check silently doubled it)."""
+    n = 12
+    rng = np.random.default_rng(6)
+    A = rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    sol, info = krylov.tfqmr(A, b, tol=1e-300, atol=1e-300, maxiter=n)
+    assert not info.success
+    assert info.numsteps == n
+    assert np.asarray(info.resnorms).shape[0] == n + 1
