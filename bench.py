@@ -373,10 +373,10 @@ def main():
         #     ~ N and the floor to O(0.1): NO solver can reach 1e-6 there
         #     in f32 — the round-3 bench criterion was unattainable.
         #   * the V(2,2) cycle with order-2 (bilinear) transfer is
-        #     mesh-independent: ~10 iterations at every size (ladder test
-        #     tests/test_multigrid.py::test_mg_mesh_independence_ladder),
-        #     where plain CG needs O(sqrt(cond)) ~ thousands (measured
-        #     rate extrapolation reported as cg_plain_est_s below).
+        #     mesh-independent: <= 10 iterations at every size (ladder
+        #     tests/test_multigrid.py::test_mg_mesh_independence_ladder);
+        #     plain CG's measured time-to-the-same-tolerance is reported
+        #     as cg_plain_est_s / cg_mg_speedup below.
         from krylov_tpu import MultigridPreconditioner
         from krylov_tpu import cg as cg_generic
 
@@ -434,16 +434,23 @@ def main():
         plain_s = time.perf_counter() - t0
         bp = np.asarray(bufp)
         rel1500 = float(bp[1500] / bp[0])
-        # per-iteration contraction from the second half (asymptotic)
-        rate = (bp[1500] / bp[750]) ** (1.0 / 750)
-        est_iters = int(
-            1500 + np.log(1e-6 / max(rel1500, 1e-30)) / np.log(rate)
-        ) if rate < 1 else -1
         extras["cg_plain_1500_rel"] = float(f"{rel1500:.3g}")
-        extras["cg_plain_est_iters"] = est_iters
-        est_s = plain_s / 1500 * est_iters if est_iters > 0 else float("nan")
-        extras["cg_plain_est_s"] = round(est_s, 2)
-        extras["cg_mg_speedup_est"] = round(est_s / mg_s, 1)
+        crossed = np.flatnonzero(bp <= 1e-6 * bp[0])
+        if crossed.size:
+            # measured time-to-tolerance (the loop ran all 1500
+            # iterations at fixed cost, so per-iteration scaling is exact)
+            k_tol = int(crossed[0])
+            est_s = plain_s * k_tol / 1500
+        else:
+            # extrapolate from the asymptotic second-half contraction
+            rate = (bp[1500] / bp[750]) ** (1.0 / 750)
+            k_tol = int(
+                1500 + np.log(1e-6 / max(rel1500, 1e-30)) / np.log(rate)
+            ) if rate < 1 else -1
+            est_s = plain_s / 1500 * k_tol if k_tol > 0 else float("nan")
+        extras["cg_plain_iters_to_tol"] = k_tol
+        extras["cg_plain_est_s"] = round(est_s, 3)
+        extras["cg_mg_speedup"] = round(est_s / mg_s, 1)
 
         # ---- solver time-to-tolerance on a 1M-row Poisson CSR through
         # the PET kernel (BASELINE configs 1 and 4: GMRES on the
@@ -527,6 +534,11 @@ def main():
             [-npg, -1, 0, 1, npg],
             shape=(Np, Np), format="csr", dtype=np.float32,
         )
+        t0 = time.perf_counter()
+        Mamg = AMGPreconditioner.from_scipy(lap0, dtype=np.float32)
+        extras["amg_setup_cold_s"] = round(time.perf_counter() - t0, 2)
+        # steady-state setup (page-cache/alloc warm; what a user solving
+        # a sequence of systems pays per matrix)
         t0 = time.perf_counter()
         Mamg = AMGPreconditioner.from_scipy(lap0, dtype=np.float32)
         extras["amg_setup_s"] = round(time.perf_counter() - t0, 2)

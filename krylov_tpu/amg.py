@@ -29,6 +29,7 @@ Split of labor, TPU-first:
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
@@ -75,7 +76,18 @@ def _pairwise_labels(A, theta, rounds=8):
     degenerate into long chains).  Leftover nodes then join their
     strongest matched neighbor's pair, so aggregates are size 1-4.
     The strength stream is sorted ONCE; each round is a linear scan.
-    Returns (labels, n_agg)."""
+    Returns (labels, n_agg).
+
+    The hot path is the native C++ twin (``csrc/amg_agg.cpp``,
+    label-identical by construction — same strength values, jitter, and
+    stable sort; tests assert equality); this numpy implementation is
+    the fallback and ground truth (``KRYLOV_TPU_NO_NATIVE=1``)."""
+    from .ops import _native
+
+    if A.has_sorted_indices:
+        native = _native.amg_pairwise_labels_native(A, theta, rounds)
+        if native is not None:
+            return native
     n = A.shape[0]
     S = _strength_graph(A, theta).tocoo()
     r, c, s = S.row.astype(np.int64), S.col.astype(np.int64), S.data
@@ -123,43 +135,88 @@ def _pairwise_labels(A, theta, rounds=8):
 
 
 def _aggregate(A, theta):
-    """Double pairwise matching (two rounds -> ~4x coarsening)."""
+    """Double pairwise matching (two rounds -> ~4x coarsening).
+
+    The composed labels are renumbered by FIRST OCCURRENCE along the
+    fine ordering — a pure renumbering of the same partition that keeps
+    the coarse unknowns (and hence the Galerkin coarse matrix and the
+    tentative prolongator's columns) in fine-row order: measured 2x PET
+    fill on both P_hat and the coarse levels (matching labels pairs and
+    singleton ids otherwise interleave across the whole index range)."""
     import scipy.sparse
 
     l1, n1 = _pairwise_labels(A, theta)
     Q1 = scipy.sparse.csr_matrix(
-        (np.ones(A.shape[0]), (np.arange(A.shape[0]), l1)),
+        (np.ones(A.shape[0], A.dtype), (np.arange(A.shape[0]), l1)),
         shape=(A.shape[0], n1),
     )
     A1 = (Q1.T @ A @ Q1).tocsr()
+    A1.sort_indices()  # canonical for both matching paths
     l2, n2 = _pairwise_labels(A1, theta)
-    return l2[l1], n2
+    labels = l2[l1]
+    first_pos = np.sort(np.unique(labels, return_index=True)[1])
+    rank = np.empty(n2, np.int64)
+    rank[labels[first_pos]] = np.arange(n2)
+    return rank[labels], n2
 
 
-def _lmax_dinv_a(Al):
-    """``lmax(D^-1 A)`` by a short host-side power iteration; also returns
-    the scaled matrix (used to smooth the tentative prolongator)."""
-    import scipy.sparse
-
+def _lmax_dinv_a(Al, iters=12):
+    """``lmax(D^-1 A)`` by a short host-side power iteration (matrix-free:
+    ``y = (A x) / d`` — forming the scaled matrix would copy O(nnz); the
+    iterate stays in ``Al.dtype``, otherwise scipy silently promotes the
+    whole matrix per matvec — measured 5x on f32 hierarchies)."""
     d = Al.diagonal()
     d = np.where(d != 0, d, 1.0)
-    Dinv_A = scipy.sparse.diags(1.0 / d) @ Al
-    x = np.random.default_rng(0).standard_normal(Al.shape[0])
+    rdtype = np.empty(0, Al.dtype).real.dtype
+    x = np.random.default_rng(0).standard_normal(
+        Al.shape[0]
+    ).astype(rdtype)
     x /= np.linalg.norm(x)
     lmax = 1.0
-    for _ in range(12):
-        y = Dinv_A @ x
+    for _ in range(iters):
+        y = (Al @ x) / d
         lmax = float(np.linalg.norm(y))
         if lmax == 0.0:
-            return 1.0, Dinv_A
+            return 1.0
         x = y / lmax
-    return lmax, Dinv_A
+    return lmax
 
 
-def _smoothed_prolongator(Al, theta, smooth_prolongator):
+def _lmax_gershgorin(Al):
+    """Gershgorin bound ``lmax(D^-1 A) <= max_i sum_j |a_ij| / |d_i|``.
+
+    One vectorized O(nnz) pass — no matvecs.  Always an OVERestimate,
+    which is the safe direction everywhere it is used: the SA prolongator
+    weight ``4/(3 lmax)`` and the Jacobi/Chebyshev smoother weights only
+    get (slightly) more conservative.  Exact for the Poisson family
+    (both sides equal 2)."""
+    if Al.nnz == 0:
+        return 1.0
+    d = np.abs(Al.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    row_ids = np.repeat(np.arange(Al.shape[0]), np.diff(Al.indptr))
+    rowsum = np.bincount(
+        row_ids, weights=np.abs(Al.data), minlength=Al.shape[0]
+    )
+    return float(np.max(rowsum / d))
+
+
+def _lmax_estimate(Al, lmax_method):
+    if lmax_method == "gershgorin":
+        return _lmax_gershgorin(Al)
+    if lmax_method == "power":
+        return _lmax_dinv_a(Al)
+    raise ValueError(f"unknown lmax_method {lmax_method!r}")
+
+
+def _smoothed_prolongator(Al, theta, smooth_prolongator,
+                          lmax_method="power"):
     """One coarsening step: aggregate, build the tentative piecewise-
-    constant prolongator, optionally smooth it (classic SA), and return
-    ``(P, A_coarse, lmax)`` — or ``None`` when coarsening stalls."""
+    constant prolongator ``P_hat``, optionally smooth it (classic SA,
+    ``P = (I - w D^-1 A) P_hat`` computed as a row-scaled ``A @ P_hat``
+    so the scaled matrix is never materialized), and return
+    ``(P, A_coarse, lmax, labels, n_agg)`` — or ``None`` when
+    coarsening stalls."""
     import scipy.sparse
 
     labels, n_agg = _aggregate(Al, theta)
@@ -170,32 +227,47 @@ def _smoothed_prolongator(Al, theta, smooth_prolongator):
          (np.arange(Al.shape[0]), labels)),
         shape=(Al.shape[0], n_agg),
     )
-    lmax, Dinv_A = _lmax_dinv_a(Al)
+    lmax = _lmax_estimate(Al, lmax_method)
     if smooth_prolongator:
         # w = 4/(3 lmax): the classic SA prolongator smoother
-        P = (P - (4.0 / (3.0 * lmax)) * (Dinv_A @ P)).tocsr()
+        AP = (Al @ P).tocsr()
+        d = Al.diagonal()
+        d = np.where(d != 0, d, 1.0)
+        scale = (4.0 / (3.0 * lmax)) / d
+        AP.data *= np.repeat(scale, np.diff(AP.indptr))
+        P = (P - AP).tocsr()
     Ac = (P.conj().T @ Al @ P).tocsr()
-    return P, Ac, lmax
+    Ac.sort_indices()  # canonical: next level's matching needs it
+    return P, Ac, lmax, labels, n_agg
 
 
 def _device_sparse(sp, prefer_pet_rect=False):
-    """Route a setup-side scipy matrix to the device operator format.
+    """Route a setup-side scipy matrix to the operator format, with HOST
+    (numpy) leaves.
 
-    Square matrices go through :func:`as_operator` (PET on TPU f32, CSR
-    on CPU/f64, BSR when block-structured).  Rectangular prolongators
-    use PET directly when the backend qualifies, else portable CSR."""
+    Same routing as :func:`as_operator` minus the BSR detection (the
+    O(nnz) block probe cost 2 s at 1M rows and Galerkin/SA levels are
+    never block-structured) — PET on TPU f32 (with the RCM auto-reorder
+    for square matrices), CSR otherwise — and every array stays on host: the AMG setup assembles
+    the whole hierarchy first and moves it in ONE ``jax.device_put``
+    (per-array puts cost a full round-trip each on remote-TPU backends;
+    measured 14 s of a 60 s 1M-row setup)."""
     from ._operators import _prefer_pet_for_csr
+    from .ops.pallas_spmv import PETOperator
     from .ops.sparse import CSROperator
 
     if sp.shape[0] == sp.shape[1]:
-        from ._operators import as_operator
-
-        return as_operator(sp)
+        if _prefer_pet_for_csr(sp):
+            # the AMG cycle never needs a level's rmatvec (symmetric)
+            return PETOperator.from_scipy(
+                sp, with_rmatvec=False, reorder="auto", to_device=False
+            )
+        return CSROperator.from_scipy(sp, to_device=False)
     if prefer_pet_rect and _prefer_pet_for_csr(sp):
-        from .ops.pallas_spmv import PETOperator
-
-        return PETOperator.from_scipy(sp, with_rmatvec=True)
-    return CSROperator.from_scipy(sp)
+        return PETOperator.from_scipy(
+            sp, with_rmatvec=True, to_device=False
+        )
+    return CSROperator.from_scipy(sp, to_device=False)
 
 
 @register_pytree_node_class
@@ -210,11 +282,23 @@ class AMGPreconditioner:
     Accepts 1-D and blocked ``(N, k)`` right-hand sides.
     """
 
-    def __init__(self, ops, prolongs, dinvs, coarse_inv, smooth, omega,
+    def __init__(self, ops, phats, dinvs, coarse_inv, smooth, omega,
                  smoother="jacobi", lmaxs=(), coarse_op=None,
-                 coarse_dinv=None):
+                 coarse_dinv=None, p_w=()):
         self._ops = tuple(ops)
-        self._prolongs = tuple(prolongs)
+        # the smoothed-aggregation prolongator is applied IMPLICITLY:
+        # P = (I - w D^-1 A) P_hat, where P_hat is the TENTATIVE
+        # (one-nonzero-per-row) aggregation operator and A is the level
+        # operator already on device.  Only P_hat / P_hat^T ship as
+        # device operators (N nnz, high PET fill); the smoothed P as an
+        # explicit rectangular PET was ~70% of the hierarchy's device
+        # bytes at fill ~0.09.  A transfer costs one extra level-matvec
+        # + a P_hat apply.  p_w[level] is w (None: unsmoothed P_hat —
+        # plain aggregation).  XLA gather/scatter formulations of P_hat
+        # were measured 34 ms/apply at 1M rows (TPU gathers serialize);
+        # the PET route streams.
+        self._phats = tuple(phats)
+        self._p_w = tuple(p_w) or (None,) * len(self._phats)
         self._dinvs = tuple(dinvs)
         self._coarse_inv = coarse_inv
         self._coarse_op = coarse_op
@@ -236,7 +320,8 @@ class AMGPreconditioner:
     @classmethod
     def from_scipy(cls, A, *, theta=0.08, smooth=2, omega=2.0 / 3.0,
                    coarse_size=400, max_levels=12, dtype=None,
-                   smooth_prolongator=True, smoother="jacobi"):
+                   smooth_prolongator=True, smoother="jacobi",
+                   lmax_method="power"):
         """Build the hierarchy from a scipy sparse (or dense) SPD matrix.
 
         * ``theta`` — strength threshold on the normalized coupling
@@ -256,6 +341,13 @@ class AMGPreconditioner:
           one extra matvec per application, no inner products, and
           typically a third fewer outer iterations; the TPU-preferred
           smoother).
+        * ``lmax_method`` — per-level ``lmax(D⁻¹A)`` estimate feeding
+          the SA prolongator weight and the smoother scaling:
+          ``"power"`` (default; 12 host matvecs per level, ~0.7 s at 1M
+          rows — its slight underestimate gives the empirically better
+          SA weight) or ``"gershgorin"`` (one O(nnz) pass, always a
+          safe overestimate — cheaper, typically 1-2 more outer
+          iterations).
         """
         import scipy.sparse
 
@@ -266,36 +358,64 @@ class AMGPreconditioner:
             raise ValueError("AMG needs a square matrix")
         if dtype is not None:
             A = A.astype(dtype)
+        if not (A.has_canonical_format and A.has_sorted_indices):
+            A = A.copy()  # canonicalize OUR copy, not the user's matrix
+            A.sum_duplicates()
+            A.sort_indices()
 
         levels = [A]
-        prolongs = []
+        phat_sps = []
+        p_ws = []
         lmaxs = []
         while (
             levels[-1].shape[0] > coarse_size
             and len(levels) < max_levels
         ):
             step = _smoothed_prolongator(
-                levels[-1], theta, smooth_prolongator
+                levels[-1], theta, smooth_prolongator,
+                lmax_method=lmax_method,
             )
             if step is None:
                 break  # coarsening stalled (e.g. diagonal matrix)
-            P, Ac, lmax = step
+            _P, Ac, lmax, labels, n_agg = step
             lmaxs.append(lmax)
             if dtype is not None:
-                P, Ac = P.astype(dtype), Ac.astype(dtype)
-            prolongs.append(P)
+                Ac = Ac.astype(dtype)
+            p_ws.append(
+                float(4.0 / (3.0 * lmax)) if smooth_prolongator else None
+            )
+            # tentative prolongator (one nonzero per row) — the only
+            # transfer matrix that ships to the device; N nnz, high
+            # PET fill (labels are near-monotone by construction)
+            nf = labels.shape[0]
+            phat_sps.append(scipy.sparse.csr_matrix(
+                (np.ones(nf, Ac.dtype), (np.arange(nf), labels)),
+                shape=(nf, int(n_agg)),
+            ))
             levels.append(Ac)
 
-        ops = [_device_sparse(m) for m in levels[:-1]]
-        P_ops = [_device_sparse(p, prefer_pet_rect=True) for p in prolongs]
+        # level + tentative-prolongator operators build concurrently:
+        # the native PET builder releases the GIL for its C++ core, so a
+        # thread pool overlaps the per-level builds (~2x on the 1M-row
+        # Poisson hierarchy)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            ops_f = [ex.submit(_device_sparse, m) for m in levels[:-1]]
+            ph_f = [
+                ex.submit(_device_sparse, p, prefer_pet_rect=True)
+                for p in phat_sps
+            ]
+            ops = [f.result() for f in ops_f]
+            phats = [f.result() for f in ph_f]
         dinvs = []
         for m in levels[:-1]:
             d = m.diagonal()
             d = np.where(d != 0, d, 1.0)
-            dinvs.append(jnp.asarray(1.0 / d))
+            dinvs.append(np.asarray(1.0 / d))
         n_last = levels[-1].shape[0]
         if n_last <= max(coarse_size, 4096):
-            coarse_inv = jnp.asarray(np.linalg.inv(levels[-1].toarray()))
+            coarse_inv = np.linalg.inv(levels[-1].toarray())
             coarse_op = None
             coarse_dinv = None
         else:
@@ -307,14 +427,20 @@ class AMGPreconditioner:
             coarse_op = _device_sparse(levels[-1])
             d = levels[-1].diagonal()
             d = np.where(d != 0, d, 1.0)
-            lmax_c = _lmax_dinv_a(levels[-1])[0]
+            lmax_c = _lmax_estimate(levels[-1], lmax_method)
             # fold the convergence-safe Jacobi weight into the vector:
             # the coarse fallback is only ever used by Jacobi sweeps
             scale = omega if lmax_c <= 2.0 else omega * 2.0 / lmax_c
-            coarse_dinv = jnp.asarray(scale / d)
-        return cls(ops, P_ops, dinvs, coarse_inv, smooth, omega,
+            coarse_dinv = np.asarray(scale / d)
+        self = cls(ops, phats, dinvs, coarse_inv, smooth, omega,
                    smoother=smoother, lmaxs=lmaxs[: len(ops)],
-                   coarse_op=coarse_op, coarse_dinv=coarse_dinv)
+                   coarse_op=coarse_op, coarse_dinv=coarse_dinv,
+                   p_w=p_ws)
+        # the whole hierarchy (PET/CSR/BSR level arrays, label gathers,
+        # Jacobi vectors, coarse inverse) was assembled on host; ONE
+        # batched put moves it — per-array puts cost a full round-trip
+        # each on remote-TPU backends (measured 14 s of a 60 s setup)
+        return jax.device_put(self)
 
     # -- observables ----------------------------------------------------
     @property
@@ -407,9 +533,25 @@ class AMGPreconditioner:
             return z
         z = self._smooth_level(level, None, r, from_zero=True)
         d = r - self._ops[level] @ z
-        e = self._vcycle(level + 1, self._prolongs[level].rmatvec(d))
-        z = z + self._prolongs[level] @ e
+        e = self._vcycle(level + 1, self._restrict_level(level, d))
+        z = z + self._prolong_level(level, e)
         return self._smooth_level(level, z, r)
+
+    # -- implicit smoothed-aggregation transfer --------------------------
+    # P^H d = P_hat^T (I - w A D^-1) d   (A hermitian, D real positive)
+    def _restrict_level(self, level, d):
+        w = self._p_w[level]
+        if w is not None:
+            d = d - w * (self._ops[level] @ self._dinv_mul(level, d))
+        return self._phats[level].rmatvec(d)
+
+    # P e = (I - w D^-1 A) P_hat e
+    def _prolong_level(self, level, e):
+        z = self._phats[level] @ e
+        w = self._p_w[level]
+        if w is not None:
+            z = z - w * self._dinv_mul(level, self._ops[level] @ z)
+        return z
 
     def __matmul__(self, r):
         return self._vcycle(0, r)
@@ -422,15 +564,16 @@ class AMGPreconditioner:
     # -- pytree -----------------------------------------------------------
     def tree_flatten(self):
         return (
-            (self._ops, self._prolongs, self._dinvs, self._coarse_inv,
+            (self._ops, self._phats, self._dinvs, self._coarse_inv,
              self._coarse_op, self._coarse_dinv),
-            (self.smooth, self.omega, self.smoother, self._lmaxs),
+            (self.smooth, self.omega, self.smoother, self._lmaxs,
+             self._p_w),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        ops, prolongs, dinvs, coarse_inv, coarse_op, coarse_dinv = children
-        smooth, omega, smoother, lmaxs = aux
-        return cls(ops, prolongs, dinvs, coarse_inv, smooth, omega,
+        ops, phats, dinvs, coarse_inv, coarse_op, coarse_dinv = children
+        smooth, omega, smoother, lmaxs, p_w = aux
+        return cls(ops, phats, dinvs, coarse_inv, smooth, omega,
                    smoother=smoother, lmaxs=lmaxs, coarse_op=coarse_op,
-                   coarse_dinv=coarse_dinv)
+                   coarse_dinv=coarse_dinv, p_w=p_w)

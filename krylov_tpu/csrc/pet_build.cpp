@@ -44,14 +44,19 @@ struct PetOut {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Build PET arrays from canonical CSR (sorted, deduplicated) float32.
-// lc == 0 means auto-pick (512 if slot-rich else 256), matching python.
-// Returns nullptr on unsupported input (caller falls back to numpy).
-PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
-                  const int64_t* indices, const float* data, int64_t lc_in) {
-  if (nnz <= 0) return nullptr;
+// Core builder, templated on the CSR index type (scipy uses int32 below
+// 2^31 nnz — accepting it directly avoids a 2x index-widening copy) and
+// on the output allocator (malloc for the legacy ABI; a caller-supplied
+// callback handing out numpy-owned zeroed buffers for the copy-free
+// path).  Alloc(nbytes, which) with which: 0 ent, 1 dat, 2 meta,
+// 3 meta_v; buffers must be zero-initialized by the allocator.
+template <typename I, typename Alloc>
+bool pet_build_core(int64_t n, int64_t m, int64_t nnz, const I* indptr,
+                    const I* indices, const float* data, int64_t lc_in,
+                    Alloc&& alloc_fn, PetOut* out) {
+  if (nnz <= 0) return false;
 
   const int64_t nsg = (n + 127) / 128;
   int64_t ngroups = (nsg + GS - 1) / GS;
@@ -60,7 +65,7 @@ PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
   if (pages_tot < 1) pages_tot = 1;
   const int64_t nwin = (pages_tot + WPAGES - 1) / WPAGES;
   const int64_t pages_pad = nwin * WPAGES;
-  if (ngroups > 0xFFFF || nwin > 0x7FFF) return nullptr;
+  if (ngroups > 0xFFFF || nwin > 0x7FFF) return false;
 
   // per-entry decomposition, in CSR storage order (row-major, sorted
   // columns — the same order the numpy path uses)
@@ -245,24 +250,16 @@ PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
   int64_t nchunks = nchunks_data + static_cast<int64_t>(extra_grps.size());
   if (nchunks < 1) nchunks = 1;
 
-  PetOut* out = static_cast<PetOut*>(std::malloc(sizeof(PetOut)));
   out->nchunks = nchunks;
   out->lc = lc;
   out->nnz = nnz;
   out->fill = static_cast<double>(nnz) /
               (static_cast<double>(nchunks) * lc * 128);
-  out->ent = static_cast<int8_t*>(std::calloc(nchunks * lc * 128, 1));
-  out->dat = static_cast<float*>(std::calloc(nchunks * lc * 128, 4));
-  out->meta = static_cast<int32_t*>(std::calloc(nchunks, 4));
-  out->meta_v = static_cast<int32_t*>(std::calloc(nchunks * 8 * 128, 4));
-  if (!out->ent || !out->dat || !out->meta || !out->meta_v) {
-    std::free(out->ent);
-    std::free(out->dat);
-    std::free(out->meta);
-    std::free(out->meta_v);
-    std::free(out);
-    return nullptr;
-  }
+  out->ent = static_cast<int8_t*>(alloc_fn(nchunks * lc * 128, 0));
+  out->dat = static_cast<float*>(alloc_fn(nchunks * lc * 128 * 4, 1));
+  out->meta = static_cast<int32_t*>(alloc_fn(nchunks * 4, 2));
+  out->meta_v = static_cast<int32_t*>(alloc_fn(nchunks * 8 * 128 * 4, 3));
+  if (!out->ent || !out->dat || !out->meta || !out->meta_v) return false;
 
   for (int64_t c = 0; c < nchunks_data; ++c) {
     out->meta[c] = static_cast<int32_t>((chunks_wblk[c] << 16) | chunks_grp[c]);
@@ -292,7 +289,61 @@ PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
     out->ent[srow * 128 + e_lane[e]] = e_lcol[e];
     out->dat[srow * 128 + e_lane[e]] = data[e];
   }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void pet_free(PetOut* out);  // defined below; used by pet_build
+
+// Legacy ABI: build PET arrays from canonical CSR (sorted, deduplicated)
+// float32 with int64 indices; outputs are library-owned (pet_free).
+// lc == 0 means auto-pick (512 if slot-rich else 256), matching python.
+// Returns nullptr on unsupported input (caller falls back to numpy).
+PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
+                  const int64_t* indices, const float* data, int64_t lc_in) {
+  PetOut* out = static_cast<PetOut*>(std::malloc(sizeof(PetOut)));
+  if (!out) return nullptr;
+  out->ent = nullptr;
+  out->dat = nullptr;
+  out->meta = nullptr;
+  out->meta_v = nullptr;
+  const bool ok = pet_build_core<int64_t>(
+      n, m, nnz, indptr, indices, data, lc_in,
+      [](int64_t nbytes, int32_t) { return std::calloc(nbytes, 1); }, out);
+  if (!ok) {
+    pet_free(out);
+    return nullptr;
+  }
   return out;
+}
+
+// Copy-free ABI: the caller's allocator hands out ZEROED buffers (numpy
+// arrays) that the builder fills in place — no output copies, no
+// ownership transfer.  idx64 selects int64 (1) or scipy's native int32
+// (0) index arrays.  Returns 0 on success, -1 on unsupported input.
+int32_t pet_build2(int64_t n, int64_t m, int64_t nnz, const void* indptr,
+                   const void* indices, int32_t idx64, const float* data,
+                   int64_t lc_in, void* (*alloc)(int64_t, int32_t),
+                   int64_t* nchunks_out, int64_t* lc_out, double* fill_out) {
+  PetOut hdr;
+  bool ok;
+  if (idx64) {
+    ok = pet_build_core<int64_t>(
+        n, m, nnz, static_cast<const int64_t*>(indptr),
+        static_cast<const int64_t*>(indices), data, lc_in, alloc, &hdr);
+  } else {
+    ok = pet_build_core<int32_t>(
+        n, m, nnz, static_cast<const int32_t*>(indptr),
+        static_cast<const int32_t*>(indices), data, lc_in, alloc, &hdr);
+  }
+  if (!ok) return -1;
+  *nchunks_out = hdr.nchunks;
+  *lc_out = hdr.lc;
+  *fill_out = hdr.fill;
+  return 0;
 }
 
 void pet_free(PetOut* out) {

@@ -45,6 +45,13 @@ class _PetOut(ctypes.Structure):
     ]
 
 
+# allocator callback for the copy-free pet_build2 ABI: Python hands out
+# zeroed numpy buffers the builder fills in place
+_PET_ALLOC_FN = ctypes.CFUNCTYPE(
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32
+)
+
+
 def _compile():
     src = os.path.join(_CSRC, "pet_build.cpp")
     with open(src, "rb") as f:
@@ -84,6 +91,15 @@ def _load():
         ]
         lib.pet_free.restype = None
         lib.pet_free.argtypes = [ctypes.POINTER(_PetOut)]
+        lib.pet_build2.restype = ctypes.c_int32
+        lib.pet_build2.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            _PET_ALLOC_FN,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
     except Exception as e:  # no compiler / sandboxed fs / bad cache
         sys.stderr.write(f"krylov_tpu: native build unavailable ({e!r}); "
@@ -99,6 +115,11 @@ def pet_build_native(csr, lc=None):
     numpy arrays + geometry (same contents as the numpy path; callers
     convert to device arrays), or None when the native path is
     unavailable.
+
+    Uses the copy-free ``pet_build2`` ABI: the builder writes straight
+    into numpy-owned zeroed buffers (no output copies — the old path
+    double-buffered ~0.5 GB on large matrices) and reads scipy's native
+    int32 index arrays without widening.
     """
     import numpy as np
 
@@ -106,32 +127,129 @@ def pet_build_native(csr, lc=None):
     if lib is None:
         return None
     n, m = csr.shape
-    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
-    indices = np.ascontiguousarray(csr.indices, dtype=np.int64)
+    indptr, indices = csr.indptr, csr.indices
+    if indptr.dtype == np.int32 and indices.dtype == np.int32:
+        idx64 = 0
+    else:
+        indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+        idx64 = 1
     data = np.ascontiguousarray(csr.data, dtype=np.float32)
-    out_p = lib.pet_build(
+
+    bufs = {}
+
+    @_PET_ALLOC_FN
+    def _alloc(nbytes, which):
+        a = np.zeros(int(nbytes), np.uint8)
+        bufs[int(which)] = a
+        return a.ctypes.data
+
+    nchunks_c = ctypes.c_int64()
+    lc_c = ctypes.c_int64()
+    fill_c = ctypes.c_double()
+    rc = lib.pet_build2(
         n, m, int(csr.nnz),
-        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        idx64,
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         0 if lc is None else int(lc),
+        _alloc,
+        ctypes.byref(nchunks_c), ctypes.byref(lc_c), ctypes.byref(fill_c),
     )
-    if not out_p:
+    if rc != 0:
+        return None
+    nchunks, lc_out = int(nchunks_c.value), int(lc_c.value)
+    return {
+        "ent": bufs[0].view(np.int8).reshape(nchunks * lc_out, 128),
+        "dat": bufs[1].view(np.float32).reshape(nchunks * lc_out, 128),
+        "meta": bufs[2].view(np.int32),
+        "meta_v": bufs[3].view(np.int32).reshape(nchunks * 8, 128),
+        "nchunks": nchunks, "lc": lc_out, "fill": float(fill_c.value),
+    }
+
+
+# ---- amg_agg.cpp: AMG pairwise-matching aggregation -----------------------
+
+_agg_lib = None
+_agg_tried = False
+
+
+def _load_agg():
+    global _agg_lib, _agg_tried
+    if _agg_tried:
+        return _agg_lib
+    _agg_tried = True
+    if os.environ.get("KRYLOV_TPU_NO_NATIVE"):
         return None
     try:
-        o = out_p.contents
-        nchunks, lc_out = int(o.nchunks), int(o.lc)
-        ent = np.ctypeslib.as_array(o.ent, (nchunks * lc_out, 128)).copy()
-        dat = np.ctypeslib.as_array(o.dat, (nchunks * lc_out, 128)).copy()
-        meta = np.ctypeslib.as_array(o.meta, (nchunks,)).copy()
-        meta_v = np.ctypeslib.as_array(o.meta_v, (nchunks * 8, 128)).copy()
-        fill = float(o.fill)
-    finally:
-        lib.pet_free(out_p)
-    return {
-        "ent": ent, "dat": dat, "meta": meta, "meta_v": meta_v,
-        "nchunks": nchunks, "lc": lc_out, "fill": fill,
-    }
+        src = os.path.join(_CSRC, "amg_agg.cpp")
+        with open(src, "rb") as f:
+            blob = f.read()
+        import hashlib
+
+        tag = hashlib.sha256(blob).hexdigest()[:16]
+        so = os.path.join(_cache_dir(), f"_amg_agg_{tag}.so")
+        if not os.path.exists(so):
+            with tempfile.TemporaryDirectory() as td:
+                tmp = os.path.join(td, "amg_agg.so")
+                # -ffp-contract=off: the sort key must be bit-identical
+                # to numpy's (no FMA fusion of the final mul-subtract)
+                subprocess.run(
+                    ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                     "-std=c++17", src, "-o", tmp],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.amg_pairwise_labels.restype = ctypes.c_int64
+        lib.amg_pairwise_labels.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int64, i64p,
+        ]
+        _agg_lib = lib
+    except Exception as e:  # no compiler / sandboxed fs / bad cache
+        sys.stderr.write(f"krylov_tpu: native amg_agg unavailable ({e!r}); "
+                         "using the numpy aggregation path\n")
+        _agg_lib = None
+    return _agg_lib
+
+
+def amg_pairwise_labels_native(csr, theta, rounds=8):
+    """Native twin of ``amg._pairwise_labels`` (label-identical; tests
+    assert equality).  ``csr`` must be canonical (sorted indices, no
+    duplicates); returns ``(labels, n_agg)`` or None when the native
+    path is unavailable or the dtype is unsupported (complex)."""
+    import numpy as np
+
+    lib = _load_agg()
+    if lib is None:
+        return None
+    if csr.dtype == np.float32:
+        kind = 0
+    elif csr.dtype == np.float64:
+        kind = 1
+    else:
+        return None
+    if not csr.has_sorted_indices:
+        return None
+    n = csr.shape[0]
+    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(csr.indices, dtype=np.int64)
+    data = np.ascontiguousarray(csr.data)
+    labels = np.empty(n, dtype=np.int64)
+    n_agg = lib.amg_pairwise_labels(
+        n,
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        data.ctypes.data_as(ctypes.c_void_p),
+        kind, float(theta), int(rounds),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n_agg < 0:
+        return None
+    return labels, int(n_agg)
 
 
 # ---- ilu0.cpp: incomplete-LU setup helpers --------------------------------

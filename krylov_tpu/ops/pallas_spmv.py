@@ -159,8 +159,14 @@ def _schedule_slots(slot_grp, slot_page, ngroups, lc):
     )
 
 
-def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None):
+def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None,
+              to_device=True):
     """Build PET arrays from a scipy sparse matrix (host-side, one-time).
+
+    ``to_device=False`` keeps the arrays as host numpy so a caller
+    assembling many PETs (e.g. an AMG hierarchy) can move them all in
+    ONE ``jax.device_put`` of the enclosing pytree — per-array puts cost
+    a full round-trip each on remote-TPU backends (~0.2 s apiece).
 
     Returns a dict of device arrays + static geometry:
       ent    (nchunks*LC, 128) int8   in-page column index per slot-lane
@@ -175,9 +181,16 @@ def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None):
     """
     import scipy.sparse
 
-    csr = scipy.sparse.csr_matrix(sp).astype(dtype)
-    csr.sum_duplicates()  # canonical: sorted columns, no duplicates
-    csr.sort_indices()
+    if (
+        scipy.sparse.issparse(sp) and sp.format == "csr"
+        and sp.dtype == dtype and sp.has_canonical_format
+        and sp.has_sorted_indices
+    ):
+        csr = sp  # already canonical f32: skip the O(nnz) astype copy
+    else:
+        csr = scipy.sparse.csr_matrix(sp).astype(dtype)
+        csr.sum_duplicates()  # canonical: sorted columns, no duplicates
+        csr.sort_indices()
     n, m = csr.shape
     nnz = csr.nnz
 
@@ -191,14 +204,15 @@ def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None):
         if host is not None:
             nsg_ = -(-n // 128)
             pages_tot_ = max(1, -(-m // 128))
-            dat_dev = jnp.asarray(host["dat"])
+            conv = jnp.asarray if to_device else (lambda a: a)
+            dat_dev = conv(host["dat"])
             if data_dtype is not None:
                 dat_dev = dat_dev.astype(data_dtype)
             return {
-                "ent": jnp.asarray(host["ent"]),
+                "ent": conv(host["ent"]),
                 "dat": dat_dev,
-                "meta": jnp.asarray(host["meta"]),
-                "meta_v": jnp.asarray(host["meta_v"]),
+                "meta": conv(host["meta"]),
+                "meta_v": conv(host["meta_v"]),
                 "shape": (n, m),
                 "nchunks": host["nchunks"],
                 "ngroups": max(1, -(-nsg_ // GS)),
@@ -324,14 +338,15 @@ def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None):
     meta_v = meta_v.reshape(nchunks * 8, 128)
 
     fill = nnz / float(nchunks * lc * 128)
-    dat_dev = jnp.asarray(dat)
+    conv = jnp.asarray if to_device else (lambda a: a)
+    dat_dev = conv(dat)
     if data_dtype is not None:
         dat_dev = dat_dev.astype(data_dtype)
     return {
-        "ent": jnp.asarray(ent),
+        "ent": conv(ent),
         "dat": dat_dev,
-        "meta": jnp.asarray(meta),
-        "meta_v": jnp.asarray(meta_v),
+        "meta": conv(meta),
+        "meta_v": conv(meta_v),
         "shape": (n, m),
         "nchunks": nchunks,
         "ngroups": ngroups,
@@ -765,7 +780,7 @@ class PETOperator:
 
     @classmethod
     def from_scipy(cls, sp, with_rmatvec=True, interpret=None,
-                   data_dtype=None, reorder=None):
+                   data_dtype=None, reorder=None, to_device=True):
         """``with_rmatvec``: True builds the adjoint PET now, "lazy" defers
         it to the first ``rmatvec`` call (keeping a host-side WEAK handle
         to the scipy matrix — the caller must keep the matrix alive until
@@ -782,25 +797,28 @@ class PETOperator:
         """
         import scipy.sparse
 
+        conv = jnp.asarray if to_device else np.asarray
         perm_np = resolve_reorder(sp, reorder, metric="fill")
         sp_build = sp
         perm = inv_perm = None
         if perm_np is not None:
             csr = scipy.sparse.csr_matrix(sp)
             sp_build = csr[perm_np][:, perm_np].tocsr()
-            perm = jnp.asarray(perm_np, jnp.int32)
-            inv_perm = jnp.asarray(
-                invert_permutation(perm_np), jnp.int32
+            perm = conv(np.asarray(perm_np, np.int32))
+            inv_perm = conv(
+                np.asarray(invert_permutation(perm_np), np.int32)
             )
 
-        pet = build_pet(sp_build, data_dtype=data_dtype)
+        pet = build_pet(sp_build, data_dtype=data_dtype,
+                        to_device=to_device)
         pet_t = (
-            build_pet(sp_build.T.conj().tocsr(), data_dtype=data_dtype)
+            build_pet(sp_build.T.conj().tocsr(), data_dtype=data_dtype,
+                      to_device=to_device)
             if with_rmatvec is True
             else None
         )
         # diagonal in USER order (permutation-independent observable)
-        diag = jnp.asarray(
+        diag = conv(
             np.asarray(sp.tocsr().diagonal(), dtype=np.float32)
         )
         sp_handle = None

@@ -52,7 +52,11 @@ class CSROperator:
         self.row_ids = row_ids
 
     @classmethod
-    def from_scipy(cls, A):
+    def from_scipy(cls, A, to_device=True):
+        """``to_device=False`` keeps host numpy leaves so a caller
+        assembling many operators can move them in ONE ``jax.device_put``
+        of the enclosing pytree (per-array puts cost a full round-trip
+        each on remote-TPU backends)."""
         csr = A.tocsr()
         csr.sort_indices()
         # host-side row expansion: the jnp.repeat fallback in __init__
@@ -60,12 +64,13 @@ class CSROperator:
         row_ids = np.repeat(
             np.arange(csr.shape[0], dtype=np.int32), np.diff(csr.indptr)
         )
+        conv = jnp.asarray if to_device else np.asarray
         return cls(
-            jnp.asarray(csr.data),
-            jnp.asarray(csr.indices, dtype=jnp.int32),
-            jnp.asarray(csr.indptr, dtype=jnp.int32),
+            conv(csr.data),
+            conv(csr.indices.astype(np.int32, copy=False)),
+            conv(csr.indptr.astype(np.int32, copy=False)),
             csr.shape,
-            row_ids=jnp.asarray(row_ids),
+            row_ids=conv(row_ids),
         )
 
     @classmethod

@@ -422,7 +422,7 @@ def partition_amg(A, n_shards, *, theta=0.08, smooth=2, omega=2.0 / 3.0,
         if step is None:
             # coarsening stalled (e.g. diagonal matrix): sharded smoothing
             # only — on exactly such matrices Jacobi is a near-exact solve
-            lmax = _lmax_dinv_a(Al)[0]
+            lmax = _lmax_dinv_a(Al)
             jw.append(omega if lmax <= 2.0 else omega * 2.0 / lmax)
             lmaxs.append(lmax)
             lv.update(
@@ -434,7 +434,7 @@ def partition_amg(A, n_shards, *, theta=0.08, smooth=2, omega=2.0 / 3.0,
             levels.append(lv)
             A_tail = None
             break
-        Ps, Ac, lmax = step
+        Ps, Ac, lmax = step[0], step[1], step[2]
         jw.append(omega if lmax <= 2.0 else omega * 2.0 / lmax)
         lmaxs.append(lmax)
         last_sharded = (
