@@ -19,7 +19,11 @@ same functional solver core (``step: state -> state`` on a pytree):
 * ``while_loop`` — one ``lax.while_loop`` compiled by XLA: the entire solve
   (SpMV, reductions, breakdown guards, residual history) runs on-device with
   zero host round-trips per iteration; the residual history lives in a fixed
-  ``(maxiter + 1, *rhs)`` buffer with a valid-length counter.
+  ``(maxiter + 1, *rhs)`` buffer with a valid-length counter.  User
+  callbacks fire via ordered ``jax.debug.callback`` — the reference's
+  per-iteration ``callback(x, r)`` contract (called ``numsteps + 1``
+  times, reference: src/krylov/cg.py:119-120, 202-204) holds on BOTH
+  backends.
 
 Solver-specific state is an arbitrary pytree carrying at least ``resnorm``;
 solvers with a mid-iteration exit (BiCGSTAB) also carry ``early_success``.
@@ -45,7 +49,8 @@ class Method(NamedTuple):
     # recompute the true residual norm of an iterate; None disables the
     # double-check (stationary methods, reference: src/krylov/stationary.py:138)
     explicit_resnorm: Optional[Callable[[Any], Any]] = None
-    # state -> args tuple for the user callback (eager only)
+    # state -> args tuple for the user callback (both backends; the
+    # compiled driver fires it through jax.debug.callback)
     callback_args: Optional[Callable[[Any], tuple]] = None
     # eager-only bookkeeping hook, e.g. cg's return_arnoldi basis collection
     on_step: Optional[Callable[[Any, Any], None]] = None
@@ -72,14 +77,12 @@ def run(
             state0, method, tol=tol, atol=atol, maxiter=maxiter, callback=callback
         )
     if backend == WHILE_LOOP:
-        if callback is not None:
-            raise ValueError(
-                "callbacks require backend='eager' "
-                "(the compiled driver never returns to host mid-solve)"
-            )
         if method.on_step is not None:
             raise ValueError("on_step bookkeeping requires backend='eager'")
-        return _run_while(state0, method, tol=tol, atol=atol, maxiter=maxiter)
+        return _run_while(
+            state0, method, tol=tol, atol=atol, maxiter=maxiter,
+            callback=callback,
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -122,7 +125,8 @@ def _run_eager(state, method: Method, *, tol, atol, maxiter, callback):
     return state, success, k, resnorms
 
 
-def _run_while(state0, method: Method, *, tol, atol, maxiter):
+def _run_while(state0, method: Method, *, tol, atol, maxiter,
+               callback=None):
     resnorm0 = state0.resnorm
     rdtype = jnp.asarray(resnorm0).dtype
     buf = jnp.zeros((maxiter + 1,) + jnp.shape(resnorm0), rdtype).at[0].set(resnorm0)
@@ -154,6 +158,25 @@ def _run_while(state0, method: Method, *, tol, atol, maxiter):
         def _step(args):
             s, k, buf = args
             s2 = method.step(s, criterion)
+            if callback is not None and method.callback_args is not None:
+                # per-iteration user callback from inside the compiled
+                # loop (SURVEY §5; reference contract: called once per
+                # iteration, reference: src/krylov/cg.py:202-204).  The
+                # values arrive on host as numpy arrays; an early-success
+                # exit skips the call, matching the eager driver's
+                # break-before-callback ordering.
+                cb_args = method.callback_args(s2)
+
+                def _fire(a):
+                    jax.debug.callback(callback, *a, ordered=True)
+                    return 0
+
+                if has_early:
+                    lax.cond(
+                        s2.early_success, lambda a: 0, _fire, cb_args
+                    )
+                else:
+                    _fire(cb_args)
             rn = jnp.asarray(s2.resnorm).astype(rdtype)
             if has_early:
                 # mid-iteration exit overwrites the last entry, no append
@@ -195,5 +218,7 @@ def _run_while(state0, method: Method, *, tol, atol, maxiter):
         # inside user jit: hand back the raw buffer + count
         return state, success, k, buf
 
+    if callback is not None:
+        jax.effects_barrier()  # all debug callbacks have landed
     k = int(k)
     return state, bool(success), k, np.asarray(buf)[: k + 1]

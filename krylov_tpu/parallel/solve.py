@@ -92,6 +92,13 @@ def sharded_solve(
     Returns ``(sol, Info)`` with reference-parity semantics: ``sol is None``
     when unconverged, ``info.resnorms`` a host array of shape
     ``(numsteps + 1, *b.shape[1:])``.
+
+    No ``callback=`` here by design: inside the SPMD program a host
+    callback would fire once PER SHARD with shard-local slabs — a
+    misleading contract.  Monitoring uses the returned full
+    ``info.resnorms`` history (replay it through your callback after the
+    solve); the single-device solvers honor per-iteration callbacks on
+    both backends (reference: src/krylov/cg.py:202-204).
     """
     mesh = make_mesh() if mesh is None else mesh
     n_rows = mesh.shape[ROWS]

@@ -111,8 +111,101 @@ def cg(
     def explicit_resnorm(xk):
         return jnp.sqrt(residual_and_norm2(xk)[2])
 
-    # optional Lanczos-relation reconstruction (eager only), matching the
-    # reference bookkeeping at src/krylov/cg.py:140-149, 219-232
+    # optional Lanczos-relation reconstruction, matching the reference
+    # bookkeeping at src/krylov/cg.py:140-149, 219-232.  Compiled
+    # backend: the V/P bases live in fixed (maxiter+1, N, ...) buffers
+    # carried through the while_loop (same pattern as compiled GMRES);
+    # eager: host-side list accumulation.
+    if return_arnoldi and backend != EAGER:
+        vdt = M_Ml_r0.dtype
+        tail = tuple(b.shape[1:])
+        hdt = jnp.result_type(norm2_0, vdt)
+        safe0 = jnp.where(resnorm0 > 0.0, resnorm0, 1.0)
+
+        class CGArnState(NamedTuple):
+            yk: jnp.ndarray
+            Ml_rk: jnp.ndarray
+            M_Ml_rk: jnp.ndarray
+            p: jnp.ndarray
+            rho_old: jnp.ndarray
+            rho: jnp.ndarray
+            alpha: jnp.ndarray
+            omega: jnp.ndarray
+            resnorm: jnp.ndarray
+            Vb: jnp.ndarray  # (maxiter+1, N, *tail) M-inner-orthonormal
+            Pb: jnp.ndarray  # (maxiter+1, N, *tail) dual basis, V = M P
+            Hb: jnp.ndarray  # (maxiter+1, maxiter, *tail) tridiagonal
+            kk: jnp.ndarray
+            alpha_old: jnp.ndarray
+
+        arn_state0 = CGArnState(
+            *state0,
+            Vb=jnp.zeros((maxiter + 1,) + b.shape, vdt).at[0].set(
+                M_Ml_r0 / safe0
+            ),
+            Pb=jnp.zeros((maxiter + 1,) + b.shape, vdt).at[0].set(
+                Ml_r0 / safe0
+            ),
+            Hb=jnp.zeros((maxiter + 1, maxiter) + tail, hdt),
+            kk=jnp.asarray(0, jnp.int32),
+            alpha_old=jnp.ones_like(state0.alpha),
+        )
+
+        base_step = step
+
+        def arn_step(s: CGArnState, criterion) -> CGArnState:
+            ns = base_step(CGState(*s[:9]), criterion)
+            k = s.kk
+            sign = jnp.where((k + 1) % 2 == 0, 1.0, -1.0).astype(
+                jnp.zeros((), vdt).real.dtype
+            )
+            Vb = s.Vb.at[k + 1].set(sign * ns.M_Ml_rk / ns.resnorm)
+            Pb = s.Pb.at[k + 1].set(sign * ns.Ml_rk / ns.resnorm)
+            Hkk = 1.0 / ns.alpha + jnp.where(
+                k > 0, ns.omega / s.alpha_old, 0.0
+            ).astype(hdt)
+            Hb = s.Hb.at[k, k].set(Hkk.astype(hdt))
+            # mirror last step's subdiagonal onto the superdiagonal
+            # (H[k-1, k] = H[k, k-1]); at k == 0 this re-writes H[0, 0]
+            # with the value just stored there — a no-op
+            idx = jnp.maximum(k - 1, 0)
+            prev_sub = Hb[k, idx]
+            Hb = Hb.at[idx, k].set(
+                jnp.where(k > 0, prev_sub, Hb[idx, k])
+            )
+            off = (jnp.sqrt(ns.rho / ns.rho_old) / ns.alpha).astype(hdt)
+            Hb = Hb.at[k + 1, k].set(off)
+            return CGArnState(
+                *ns, Vb=Vb, Pb=Pb, Hb=Hb, kk=k + 1, alpha_old=ns.alpha
+            )
+
+        method = Method(
+            step=arn_step,
+            xk=lambda s: x0 + s.yk,
+            explicit_resnorm=explicit_resnorm,
+            callback_args=lambda s: (x0 + s.yk, s.Ml_rk),
+        )
+        state, success, k, resnorms = run(
+            arn_state0, method, tol=tol, atol=atol, maxiter=maxiter,
+            callback=callback, backend=backend,
+        )
+        xk = x0 + state.yk
+        num_operations = {
+            "A": 1 + k, "M": 2 + k, "Ml": 2 + k, "Mr": 1 + k,
+            "inner": 2 + 2 * k, "axpy": 2 + 2 * k,
+        }
+        if isinstance(k, (int, np.integer)):
+            V = [state.Vb[i] for i in range(k + 1)]
+            P = [state.Pb[i] for i in range(k + 1)]
+            H = np.asarray(state.Hb)[: k + 1, :k]
+            arnoldi = [V, H, P]
+        else:  # traced: hand back the raw fixed buffers + count
+            arnoldi = [state.Vb, state.Hb, state.Pb]
+        info = Info(success, xk, k, resnorms, num_operations, arnoldi)
+        if isinstance(success, (bool, np.bool_)):
+            return xk if success else None, info
+        return xk, info
+
     on_step = None
     arnoldi_acc = None
     if return_arnoldi:

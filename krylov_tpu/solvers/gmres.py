@@ -411,10 +411,16 @@ def _gmres_while(
         yk = jnp.einsum("k...,kn...->n...", yy, s.V[:K])
         return x0 + Mr @ yk
 
-    method = Method(step=step, xk=xk_of, explicit_resnorm=residual_norm)
+    method = Method(
+        step=step, xk=xk_of, explicit_resnorm=residual_norm,
+        # xk_of per iteration costs a triangular solve + basis
+        # combination; the driver only evaluates it when a callback is
+        # actually installed
+        callback_args=lambda s: (xk_of(s), s.resnorm),
+    )
     state, success, k, resnorms = run(
         state0, method, tol=tol, atol=atol, maxiter=maxiter,
-        callback=None, backend=WHILE_LOOP,
+        callback=callback, backend=WHILE_LOOP,
     )
 
     xk = xk_of(state)
@@ -536,10 +542,16 @@ def _gmres_while_householder(
         yk = jnp.einsum("k...,kn...->n...", yy, s.V[:K])
         return x0 + Mr @ yk
 
-    method = Method(step=step, xk=xk_of, explicit_resnorm=residual_norm)
+    method = Method(
+        step=step, xk=xk_of, explicit_resnorm=residual_norm,
+        # xk_of per iteration costs a triangular solve + basis
+        # combination; the driver only evaluates it when a callback is
+        # actually installed
+        callback_args=lambda s: (xk_of(s), s.resnorm),
+    )
     state, success, k, resnorms = run(
         state0, method, tol=tol, atol=atol, maxiter=maxiter,
-        callback=None, backend=WHILE_LOOP,
+        callback=callback, backend=WHILE_LOOP,
     )
 
     xk = xk_of(state)
