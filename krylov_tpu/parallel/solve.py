@@ -230,17 +230,30 @@ def sharded_solve(
             x0 = jnp.asarray(x0)[perm]
         if M_diag is not None:
             M_diag = jnp.asarray(M_diag)[perm]
+    # any-N sharding (the reference accepts any N, reference:
+    # src/krylov/cg.py:96-113): structured formats pad with unit-diagonal
+    # rows / identity blocks — zero coupling to real rows, so padded
+    # vector entries start at zero and stay exactly zero and trajectories
+    # are bit-identical to the unpadded problem (same contract as
+    # parallel/csr.py::pad_unit_diagonal)
     pad_rows = (-N) % n_rows
-    if pad_rows and not (
-        isinstance(A, (CSROperator, PETPartition)) or hasattr(A, "tocsr")
-    ):
-        # zero-row padding is implemented for the general-sparsity CSR
-        # and PET routes (and the grid routes above); structured formats
-        # keep the divisibility requirement
-        raise ValueError(
-            f"N={N} not divisible by rows-axis size {n_rows} "
-            f"(auto-padding supports scipy/CSR, PET and grid operators)"
-        )
+    if isinstance(A, BSROperator):
+        R_bs, C_bs = A.blocksize
+        nbrows0 = A.cols.shape[0]
+        pad_blk = (-nbrows0) % n_rows
+        pad_rows = pad_blk * R_bs  # vectors pad in whole blocks
+        if pad_blk:
+            if R_bs != C_bs:
+                raise ValueError(
+                    f"BSR identity padding needs square blocks; got "
+                    f"{(R_bs, C_bs)} — choose a mesh whose rows axis "
+                    f"divides {nbrows0} block rows"
+                )
+            A = _pad_bsr(A, pad_blk)
+    elif pad_rows and isinstance(A, BandedOperator):
+        # includes grid stencils whose fast path above did not engage:
+        # they fall back to the flat banded route, padded
+        A = _pad_banded(A, pad_rows)
     if pad_rows:
         zpad = jnp.zeros((pad_rows,) + b.shape[1:], b.dtype)
         b = jnp.concatenate([b, zpad], axis=0)
@@ -547,6 +560,51 @@ def _sharded_solve_grid(
         xk = xk.reshape(b.shape)
     info = Info(success, xk, numsteps, resnorms, None, None)
     return (xk if success else None), info
+
+
+def _pad_banded(A, pad):
+    """Append ``pad`` unit-diagonal rows to a banded operator.
+
+    Real rows' coefficients into the padded column range were already
+    zero (the banded contract zeroes out-of-range columns), and padded
+    rows carry only the unit diagonal — so padded entries of every
+    solver vector stay exactly zero and trajectories are bit-identical
+    (the banded twin of :func:`~krylov_tpu.parallel.csr.pad_unit_diagonal`)."""
+    coeffs = jnp.asarray(A.coeffs)
+    ndiag, N0 = coeffs.shape
+    coeffs2 = jnp.concatenate(
+        [coeffs, jnp.zeros((ndiag, pad), coeffs.dtype)], axis=1
+    )
+    offsets = tuple(A.offsets)
+    if 0 in offsets:
+        coeffs2 = coeffs2.at[offsets.index(0), N0:].set(1)
+    else:
+        diag = jnp.concatenate(
+            [jnp.zeros((1, N0), coeffs.dtype),
+             jnp.ones((1, pad), coeffs.dtype)], axis=1,
+        )
+        coeffs2 = jnp.concatenate([coeffs2, diag], axis=0)
+        offsets = offsets + (0,)
+    return BandedOperator(coeffs2, offsets, hermitian=A.hermitian)
+
+
+def _pad_bsr(A, pad_blk):
+    """Append ``pad_blk`` identity-block rows to an ELL-padded BSR
+    operator (square blocks).  Same zero-coupling contract as
+    :func:`_pad_banded`."""
+    nbrows, max_blocks = A.cols.shape
+    R, _ = A.blocksize
+    dpad = jnp.zeros((pad_blk * max_blocks, R, R), A.data.dtype)
+    dpad = dpad.at[::max_blocks].set(jnp.eye(R, dtype=A.data.dtype))
+    cpad = jnp.zeros((pad_blk, max_blocks), A.cols.dtype)
+    cpad = cpad.at[:, 0].set(
+        nbrows + jnp.arange(pad_blk, dtype=A.cols.dtype)
+    )
+    return BSROperator(
+        jnp.concatenate([A.data, dpad], axis=0),
+        jnp.concatenate([A.cols, cpad], axis=0),
+        (A.shape[0] + pad_blk * R, A.shape[1] + pad_blk * R),
+    )
 
 
 def _local_banded(coeffs, *, offsets, hermitian):

@@ -1259,3 +1259,92 @@ def test_sharded_solve_complex_unsymmetric_gmres_and_bicgstab():
         )
         assert info.success, solver.__name__
         np.testing.assert_allclose(np.asarray(sol), x_ref, atol=1e-7)
+
+
+def test_sharded_banded_prime_n_pads_to_shards():
+    """N=509 (prime) BANDED operator on 8 devices: unit-diagonal row
+    padding (round-3 verdict item 6 — the reference accepts any N,
+    reference: src/krylov/cg.py:96-113); trajectories match the
+    single-device solve exactly."""
+    rng = np.random.default_rng(92)
+    n = 509
+    coeffs = np.zeros((3, n))
+    coeffs[0, 1:] = -1.0
+    coeffs[1] = 3.2 + 0.5 * rng.random(n)
+    coeffs[2, :-1] = -1.0
+    A = stencil.BandedOperator(
+        jnp.asarray(coeffs), (-1, 0, 1), hermitian=False
+    )
+    b = jnp.asarray(rng.standard_normal(n))
+
+    sol_ref, info_ref = krylov_tpu.cg(A, b, tol=1e-10, maxiter=400)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(), tol=1e-10, maxiter=400
+    )
+    assert info.success
+    assert sol.shape == (n,)
+    assert info.numsteps == info_ref.numsteps
+    np.testing.assert_allclose(
+        np.asarray(sol), np.asarray(sol_ref), atol=1e-8
+    )
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-8, atol=1e-12
+    )
+
+    # no diagonal band at all: the pad path must ADD a unit diagonal —
+    # pin the padded operator against dense block-diag(A, I) algebra
+    from krylov_tpu.parallel.solve import _pad_banded
+
+    n2 = 10
+    c2 = np.zeros((2, n2))
+    c2[0, 1:] = -1.0
+    c2[1, :-1] = -1.0
+    A2 = stencil.BandedOperator(
+        jnp.asarray(c2), (-1, 1), hermitian=True
+    )
+    A2p = _pad_banded(A2, 6)
+    assert 0 in A2p.offsets
+    dense = np.zeros((n2 + 6, n2 + 6))
+    dense[:n2, :n2] = np.asarray(A2.todense())
+    dense[n2:, n2:] = np.eye(6)
+    np.testing.assert_allclose(np.asarray(A2p.todense()), dense)
+
+
+def test_sharded_bsr_prime_block_rows_pads_to_shards():
+    """61 (prime) block rows of 3x3 blocks over 8 devices: identity
+    block padding (round-3 verdict item 6); trajectories match the
+    single-device solve."""
+    rng = np.random.default_rng(93)
+    nb, R = 61, 3
+    n = nb * R
+    blocks = scipy.sparse.diags(
+        [-1.0, 2.6, -1.0], [-1, 0, 1], shape=(nb, nb), format="csr"
+    )
+    dense = scipy.sparse.kron(
+        blocks, np.eye(R) + 0.1 * rng.random((R, R))
+    ).tocsr()
+    dense = (dense + dense.T).tocsr()  # SPD-ish, definitely blocked
+    from krylov_tpu.ops.bsr import BSROperator
+
+    A = BSROperator.from_scipy(dense, blocksize=(R, R))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    sol_ref, info_ref = krylov_tpu.cg(dense, b, tol=1e-10, maxiter=400)
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(), tol=1e-10, maxiter=400
+    )
+    assert info.success
+    assert sol.shape == (n,)
+    assert info.numsteps == info_ref.numsteps
+    np.testing.assert_allclose(
+        np.asarray(sol), np.asarray(sol_ref), atol=1e-8
+    )
+    # multi-RHS through the same identity-padded path
+    B = jnp.asarray(rng.standard_normal((n, 2)))
+    solB, infoB = parallel.sharded_solve(
+        krylov_tpu.cg, A, B, mesh=_mesh(), tol=1e-10, maxiter=400
+    )
+    assert infoB.success
+    Rres = np.asarray(B) - dense @ np.asarray(solB)
+    assert np.linalg.norm(Rres) <= 1e-8 * (1 + np.linalg.norm(np.asarray(B)))

@@ -157,9 +157,13 @@ def main():
     from krylov_tpu import MultigridPreconditioner
 
     Mmg = MultigridPreconditioner(Ac)
+    # tol 1e-5: the f32 attainable-residual floor for random b at 256^2
+    # sits at ~3e-6 relative (eps * ||A|| ||x|| / ||b||, ||x|| ~ 1/lmin);
+    # 1e-6 is unreachable by ANY solver in f32 here (see bench.py's
+    # manufactured-RHS note for the full accounting)
     solm, infom = krylov.cg(
         Ac, b, M=Mmg, inner=lambda u, v: jnp.sum(u * v),
-        tol=1e-6, maxiter=60, backend="while_loop",
+        tol=1e-5, maxiter=60, backend="while_loop",
     )
     check("cg_multigrid", relres(Ac, infom.xk, b), 1e-4)
     if int(infom.numsteps) > 30:
@@ -246,6 +250,44 @@ def main():
     check(
         "sharded_amg_mpartition",
         float(np.linalg.norm(rmp) / np.linalg.norm(np.asarray(bam))),
+        1e-3,
+    )
+
+    # 6g. round-3 solver families on-device: TFQMR and LSQR through the
+    # sharded (1-chip mesh) route, and the block-Jacobi M_partition
+    sol_tf, info_tf = parallel.sharded_solve(
+        krylov.tfqmr, Aam, bam, mesh=parallel.make_mesh(1),
+        tol=1e-5, maxiter=400,
+    )
+    rtf = np.asarray(bam) - Aam @ np.asarray(info_tf.xk)
+    check(
+        "sharded_tfqmr",
+        float(np.linalg.norm(rtf) / np.linalg.norm(np.asarray(bam))),
+        1e-3,
+    )
+    sol_ls, info_ls = parallel.sharded_solve(
+        krylov.lsqr, Aam, bam, mesh=parallel.make_mesh(1),
+        tol=1e-5, maxiter=400,
+    )
+    rls = np.asarray(bam) - Aam @ np.asarray(info_ls.xk)
+    # LSQR iterates the normal equations (cond^2): 400 iterations on the
+    # unshifted Poisson reach ~2e-2 — this is a path check, not a
+    # convergence bar
+    check(
+        "sharded_lsqr",
+        float(np.linalg.norm(rls) / np.linalg.norm(np.asarray(bam))),
+        5e-2,
+    )
+    partbj = parallel.partition_block_jacobi(Aam, 1, block=64,
+                                             dtype=np.float32)
+    sol_bj, info_bj = parallel.sharded_solve(
+        krylov.cg, Aam, bam, mesh=parallel.make_mesh(1),
+        M_partition=partbj, tol=1e-5, maxiter=200,
+    )
+    rbj = np.asarray(bam) - Aam @ np.asarray(info_bj.xk)
+    check(
+        "sharded_blockjacobi_mpartition",
+        float(np.linalg.norm(rbj) / np.linalg.norm(np.asarray(bam))),
         1e-3,
     )
 

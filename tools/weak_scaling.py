@@ -36,6 +36,13 @@ def main():
         "--block-rhs", type=int, default=4,
         help="RHS columns for --solver cg_block",
     )
+    p.add_argument(
+        "--operator", default="grid",
+        choices=["grid", "csr_pet", "bsr"],
+        help="sharded operator format under test: the grid-stencil fast "
+        "path (default), the general-sparsity PET partition, or the "
+        "block-sparse (BSR) route",
+    )
     p.add_argument("--multihost", action="store_true")
     p.add_argument(
         "--virtual-devices", type=int, default=0,
@@ -72,8 +79,34 @@ def main():
     nx = (rows_per_dev * n_dev) // ny
     N = nx * ny
 
-    A = stencil.poisson_2d(nx, ny, dtype=np.float32)
     rng = np.random.default_rng(0)
+    nnz_true = None
+    if args.operator == "grid":
+        A = stencil.poisson_2d(nx, ny, dtype=np.float32)
+        nnz_true = int(A.nnz)
+    elif args.operator == "csr_pet":
+        import scipy.sparse
+
+        sp = scipy.sparse.diags(
+            [-1.0, -1.0, 4.0, -1.0, -1.0], [-ny, -1, 0, 1, ny],
+            shape=(N, N), format="csr", dtype=np.float32,
+        )
+        nnz_true = int(sp.nnz)
+        A = parallel.partition_pet(sp, n_dev)
+    else:  # bsr: block-tridiagonal, 8x8 dense blocks
+        import scipy.sparse
+
+        from krylov_tpu.ops.bsr import BSROperator
+
+        bs = 8
+        nb = N // bs
+        blocks = scipy.sparse.diags(
+            [-1.0, 2.5, -1.0], [-1, 0, 1], shape=(nb, nb), format="csr"
+        )
+        dense_blk = np.eye(bs) + 0.05
+        sp = scipy.sparse.kron(blocks, dense_blk).tocsr().astype(np.float32)
+        nnz_true = int(sp.nnz)
+        A = BSROperator.from_scipy(sp, blocksize=(bs, bs))
     solver = getattr(krylov_tpu, args.solver)
     if args.solver == "cg_block":
         b = jnp.asarray(
@@ -94,13 +127,15 @@ def main():
     sol, info = solve()
     dt = time.perf_counter() - t0
 
-    nnz = int(A.nnz)
+    nnz = nnz_true
     if args.solver == "cg_block":
         nnz *= args.block_rhs  # effective work: one SpMM over k columns
     per_iter = dt / args.iters
     out = {
-        "metric": f"weak_scaling_{args.solver}",
+        "metric": f"weak_scaling_{args.solver}"
+        + ("" if args.operator == "grid" else f"_{args.operator}"),
         "solver": args.solver,
+        "operator": args.operator,
         "devices": n_dev,
         "processes": jax.process_count(),
         "n_rows": N,

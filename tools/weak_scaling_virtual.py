@@ -49,7 +49,7 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_one(n_dev, rows_per_dev, iters, ny, solver):
+def run_one(n_dev, rows_per_dev, iters, ny, solver, operator="grid"):
     out = subprocess.run(
         [
             sys.executable,
@@ -59,6 +59,7 @@ def run_one(n_dev, rows_per_dev, iters, ny, solver):
             "--ny", str(ny),
             "--virtual-devices", str(n_dev),
             "--solver", solver,
+            "--operator", operator,
         ],
         capture_output=True, text=True, check=True,
     )
@@ -179,10 +180,18 @@ def main():
     args = p.parse_args()
 
     curves = {}
-    for solver in ("cg", "cg_pipelined"):
+    for solver, operator in (
+        ("cg", "grid"), ("cg_pipelined", "grid"),
+        # round-3 verdict item 10: the sharded PET and BSR matvec paths
+        # measured on the same weak-scaling ladder, not just grid CG
+        ("cg", "csr_pet"), ("cg", "bsr"),
+    ):
         curve = []
         for n in args.devices:
-            r = run_one(n, args.rows_per_device, args.iters, args.ny, solver)
+            r = run_one(
+                n, args.rows_per_device, args.iters, args.ny, solver,
+                operator,
+            )
             curve.append(r)
             print(json.dumps(r), flush=True)
         base = curve[0]["nnz_per_s_per_device"]
@@ -190,25 +199,42 @@ def main():
             r["efficiency_vs_1dev"] = round(
                 r["nnz_per_s_per_device"] / base, 4
             )
-        curves[solver] = curve
+        curves[(solver, operator)] = curve
 
     # single block-CG point at the largest device count (amortized psums)
     nmax = args.devices[-1]
     blk = run_one(nmax, args.rows_per_device, args.iters, args.ny, "cg_block")
     print(json.dumps(blk), flush=True)
 
+    model = tpu_model(1 << 22, 4096)
+    # machine-readable 2-host conclusion per compute scenario (the claim
+    # AND its condition at top level, not buried in the note)
+    conclusion = {"target": 0.75}
+    for scen in ("measured", "streaming_floor"):
+        e2 = dict(model[scen]["two_hosts_16chips"])
+        conclusion[scen + "_compute"] = e2
+    conclusion["summary"] = (
+        "2 hosts x 8 chips: with measured v5e compute every variant "
+        "clears >=75%; at the adversarial streaming floor plain CG "
+        "fails (0.52) and the target is met via pipelined CG with "
+        "psum/matvec overlap (1.0), pipelined without overlap (0.74, "
+        "marginal), or block CG k=4 (0.90)."
+    )
     result = {
         "metric": "weak_scaling_virtual_mesh",
         "backend": "cpu-virtual-devices",
         "rows_per_device": args.rows_per_device,
         "iters": args.iters,
         "ny": args.ny,
-        "curve": curves["cg"],
-        "curve_pipelined": curves["cg_pipelined"],
+        "conclusion_2hosts_16chips": conclusion,
+        "curve": curves[("cg", "grid")],
+        "curve_pipelined": curves[("cg_pipelined", "grid")],
+        "curve_csr_pet": curves[("cg", "csr_pet")],
+        "curve_bsr": curves[("cg", "bsr")],
         "block_cg_point": blk,
         # model for the BASELINE per-device problem (4.2M rows/device)
         "tpu_model_rows_per_device": 1 << 22,
-        "tpu_model": tpu_model(1 << 22, 4096),
+        "tpu_model": model,
         "note": (
             "Virtual-mesh curves exercise the real shard_map/psum/ppermute "
             "path without ICI hardware (CPU-contention proxy: absolute "
