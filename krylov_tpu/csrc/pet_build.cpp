@@ -55,7 +55,8 @@ namespace {
 template <typename I, typename Alloc>
 bool pet_build_core(int64_t n, int64_t m, int64_t nnz, const I* indptr,
                     const I* indices, const float* data, int64_t lc_in,
-                    Alloc&& alloc_fn, PetOut* out) {
+                    int64_t cwp, Alloc&& alloc_fn, PetOut* out) {
+  if (cwp <= 0) cwp = CWP;
   if (nnz <= 0) return false;
 
   const int64_t nsg = (n + 127) / 128;
@@ -181,11 +182,11 @@ bool pet_build_core(int64_t n, int64_t m, int64_t nnz, const I* indptr,
       while (i < cnt) {
         const int64_t p = slot_page[lo + i];
         const int64_t blk = p / WPAGES;
-        int64_t base = std::min(p - p % 8, (blk + 1) * WPAGES - CWP);
+        int64_t base = std::min(p - p % 8, (blk + 1) * WPAGES - cwp);
         base = std::max(base, blk * WPAGES);
-        // j = first slot with page >= base + CWP, capped at block end
+        // j = first slot with page >= base + cwp, capped at block end
         int64_t j = i;
-        const int64_t page_cap = std::min(base + CWP, (blk + 1) * WPAGES);
+        const int64_t page_cap = std::min(base + cwp, (blk + 1) * WPAGES);
         while (j < cnt && slot_page[lo + j] < page_cap) ++j;
         runs.push_back({i, j, base});
         i = j;
@@ -311,7 +312,7 @@ PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
   out->meta = nullptr;
   out->meta_v = nullptr;
   const bool ok = pet_build_core<int64_t>(
-      n, m, nnz, indptr, indices, data, lc_in,
+      n, m, nnz, indptr, indices, data, lc_in, CWP,
       [](int64_t nbytes, int32_t) { return std::calloc(nbytes, 1); }, out);
   if (!ok) {
     pet_free(out);
@@ -326,18 +327,21 @@ PetOut* pet_build(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
 // (0) index arrays.  Returns 0 on success, -1 on unsupported input.
 int32_t pet_build2(int64_t n, int64_t m, int64_t nnz, const void* indptr,
                    const void* indices, int32_t idx64, const float* data,
-                   int64_t lc_in, void* (*alloc)(int64_t, int32_t),
+                   int64_t lc_in, int64_t cwp,
+                   void* (*alloc)(int64_t, int32_t),
                    int64_t* nchunks_out, int64_t* lc_out, double* fill_out) {
   PetOut hdr;
   bool ok;
   if (idx64) {
     ok = pet_build_core<int64_t>(
         n, m, nnz, static_cast<const int64_t*>(indptr),
-        static_cast<const int64_t*>(indices), data, lc_in, alloc, &hdr);
+        static_cast<const int64_t*>(indices), data, lc_in, cwp, alloc,
+        &hdr);
   } else {
     ok = pet_build_core<int32_t>(
         n, m, nnz, static_cast<const int32_t*>(indptr),
-        static_cast<const int32_t*>(indices), data, lc_in, alloc, &hdr);
+        static_cast<const int32_t*>(indices), data, lc_in, cwp, alloc,
+        &hdr);
   }
   if (!ok) return -1;
   *nchunks_out = hdr.nchunks;

@@ -96,6 +96,7 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64,
             _PET_ALLOC_FN,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double),
@@ -108,7 +109,7 @@ def _load():
     return _lib
 
 
-def pet_build_native(csr, lc=None):
+def pet_build_native(csr, lc=None, cwp=None):
     """Native twin of the numpy PET array construction.
 
     ``csr``: canonical scipy CSR, float32.  Returns the dict of HOST
@@ -154,6 +155,7 @@ def pet_build_native(csr, lc=None):
         idx64,
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         0 if lc is None else int(lc),
+        0 if cwp is None else int(cwp),
         _alloc,
         ctypes.byref(nchunks_c), ctypes.byref(lc_c), ctypes.byref(fill_c),
     )

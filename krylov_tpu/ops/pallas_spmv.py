@@ -78,7 +78,7 @@ GS = 32         # subgroups (of 128 rows) per output group tile (5 bits).
 # per-slot descriptor word: pidx (6 bits) | wid << 6 | sgr << 7
 
 
-def _schedule_slots(slot_grp, slot_page, ngroups, lc):
+def _schedule_slots(slot_grp, slot_page, ngroups, lc, cwp=CWP):
     """Greedy per-group schedule: sub-window runs, then <=2-window chunks.
 
     Returns per-slot (chunk, pos-in-chunk, wid 0/1, cbase of its window)
@@ -106,9 +106,9 @@ def _schedule_slots(slot_grp, slot_page, ngroups, lc):
         while i < hi - lo:
             p = pages[i]
             blk = p // WPAGES
-            base = min(p - p % 8, (blk + 1) * WPAGES - CWP)
+            base = min(p - p % 8, (blk + 1) * WPAGES - cwp)
             base = max(base, blk * WPAGES)
-            j = np.searchsorted(pages, base + CWP)
+            j = np.searchsorted(pages, base + cwp)
             jb = np.searchsorted(pages, (blk + 1) * WPAGES)
             j = min(j, jb)
             runs.append((i, j, base))
@@ -159,9 +159,67 @@ def _schedule_slots(slot_grp, slot_page, ngroups, lc):
     )
 
 
+def choose_cwp(csr, sample_groups=8, seed=0):
+    """Pick the chunk sub-window size (16 or 32 pages) per matrix.
+
+    The page-selection one-hot contraction is the kernel's only
+    k-scaled MXU op; its stacked depth is ``3 * 2 * cwp`` bf16 rows,
+    which the 128-deep MXU pads to full passes — cwp=16 costs ONE pass
+    (96 -> 128) and cwp=32 TWO (192 -> 256).  Smaller windows can
+    fragment groups whose slot pages span more than ``2 * cwp`` pages
+    (wide-band stencil groups) into extra chunks, which costs stream
+    fill — so sample a few row-groups, run the REAL scheduler on their
+    slot streams for both sizes, and take the half-cost window only
+    when it does not inflate the chunk count ("multi-geometry chunks":
+    the geometry is per-matrix, static at trace time)."""
+    n = csr.shape[0]
+    nsg = -(-n // 128)
+    ngroups = max(1, -(-nsg // GS))
+    rng = np.random.default_rng(seed)
+    gids = (
+        np.arange(ngroups) if ngroups <= sample_groups
+        else np.sort(rng.choice(ngroups, sample_groups, replace=False))
+    )
+    chunks = {16: 0, 32: 0}
+    for g in gids:
+        r0, r1 = int(g) * GS * 128, min((int(g) + 1) * GS * 128, n)
+        lo, hi = csr.indptr[r0], csr.indptr[r1]
+        if hi <= lo:
+            continue
+        rows = np.repeat(
+            np.arange(r0, r1, dtype=np.int64),
+            np.diff(csr.indptr[r0:r1 + 1]),
+        )
+        pages = csr.indices[lo:hi].astype(np.int64) >> 7
+        # slots per (subgroup, page) = max lane multiplicity (occurrence
+        # rank), exactly as the builder derives them
+        key = (rows >> 7) * (int(pages.max()) + 2) * 128 + pages * 128 + (
+            rows & 127
+        )
+        uk, cnt = np.unique(key, return_counts=True)
+        sgp = uk // 128  # (subgroup, page) id per unique (sg, page, lane)
+        starts = np.flatnonzero(np.r_[True, sgp[1:] != sgp[:-1]])
+        slot_mult = np.maximum.reduceat(cnt, starts)
+        slot_pages = (uk[starts] // 128) % (int(pages.max()) + 2)
+        # slot stream sorted by page (the scheduler's per-group order),
+        # with multiplicity (k-occurrences each own a slot)
+        order = np.argsort(slot_pages, kind="stable")
+        sp_pages = np.repeat(slot_pages[order], slot_mult[order])
+        sp_grp = np.zeros(len(sp_pages), np.int64)
+        lc_probe = 512 if len(sp_pages) >= 384 else 256
+        for cwp in (16, 32):
+            out = _schedule_slots(sp_grp, sp_pages, 1, lc_probe, cwp=cwp)
+            chunks[cwp] += len(out[4])
+    return 16 if chunks[16] <= 1.1 * max(1, chunks[32]) else 32
+
+
 def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None,
-              to_device=True):
+              to_device=True, cwp=None):
     """Build PET arrays from a scipy sparse matrix (host-side, one-time).
+
+    ``cwp`` — pages per chunk sub-window (16 or 32); None picks per
+    matrix via :func:`choose_cwp` (16 halves the kernel's page-select
+    MXU cost when the matrix's groups are page-compact).
 
     ``to_device=False`` keeps the arrays as host numpy so a caller
     assembling many PETs (e.g. an AMG hierarchy) can move them all in
@@ -200,7 +258,9 @@ def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None,
         # faster and falls back to this numpy path when unavailable
         from . import _native
 
-        host = _native.pet_build_native(csr, lc=lc)
+        if cwp is None:
+            cwp = choose_cwp(csr)
+        host = _native.pet_build_native(csr, lc=lc, cwp=cwp)
         if host is not None:
             nsg_ = -(-n // 128)
             pages_tot_ = max(1, -(-m // 128))
@@ -218,6 +278,7 @@ def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None,
                 "ngroups": max(1, -(-nsg_ // GS)),
                 "pages_pad": -(-pages_tot_ // WPAGES) * WPAGES,
                 "lc": host["lc"],
+                "cwp": cwp,
                 "nnz": nnz,
                 "fill": host["fill"],
             }
@@ -282,10 +343,12 @@ def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None,
         # matrices with many slots per group), small chunks avoid tail
         # padding when groups are slot-poor (measured crossover ~1.5*LC)
         lc = 512 if n_slots >= 384 * ngroups else 256
+    if cwp is None:
+        cwp = choose_cwp(csr)
     (
         slot_chunk, slot_pos, slot_wid, slot_cbase,
         chunk_grp, chunk_wblk, chunk_cb0, chunk_cb1,
-    ) = _schedule_slots(slot_grp, slot_page, ngroups, lc)
+    ) = _schedule_slots(slot_grp, slot_page, ngroups, lc, cwp=cwp)
     nchunks_data = len(chunk_grp)
 
     # groups with no entries still need one (zero) chunk so their output
@@ -352,6 +415,7 @@ def build_pet(sp, dtype=np.float32, data_dtype=None, lc=None,
         "ngroups": ngroups,
         "pages_pad": pages_pad,
         "lc": lc,
+        "cwp": cwp,
         "nnz": nnz,
         "fill": fill,
     }
@@ -389,33 +453,64 @@ def _select_dot(oh, x, transpose_lhs=False):
     return out
 
 
-def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc):
+def _select_tab_stacked(oh_lanes, x):
+    """Page-selection table in ONE deep MXU contraction, exact in f32.
+
+    ``oh_lanes``: (2*CWP, LC) 0/1 — the per-half one-hots concatenated
+    along lanes (output slots).  ``x``: (2*CWP, W) f32 window rows.
+    Equivalent to running :func:`_select_dot`'s three bf16 passes per
+    128-slot half, but the three Dekker splits AND all ``lc/128`` halves
+    fuse into a single ``(3*2*CWP) = 192``-deep contraction: the MXU is
+    depth-128-native, so the separate 64-deep passes ran at <=50%
+    utilization and — being the only k-scaled matmul — capped the SpMM
+    amortization at ~2.2x (measured ablation: the tab build was 1.05 ms
+    of a 1.5 ms k=8 call while the lane-gathers cost 0.09 ms).  Fused:
+    ~2.6x less tab time, same bits (each product selects exactly one
+    split term; s1+s2+s3 reconstructs the f32 value exactly in any
+    association, zero terms contribute nothing)."""
+    s1 = x.astype(jnp.bfloat16)
+    r1 = x - s1.astype(jnp.float32)
+    s2 = r1.astype(jnp.bfloat16)
+    s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
+    oh16 = oh_lanes.astype(jnp.bfloat16)
+    lhs = jnp.concatenate([oh16, oh16, oh16], axis=0)   # (3*2CWP, LC)
+    rhs = jnp.concatenate([s1, s2, s3], axis=0)         # (3*2CWP, W)
+    return lax.dot_general(
+        lhs, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (LC, W)
+
+
+def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc,
+                cwp=CWP):
     @pl.when(mv_ref[0, 0] == 1)
     def _():
         o_ref[:, :] = jnp.zeros_like(o_ref)
 
     mv = mv_ref[:, :]                                       # (8, 128) int32
-    xs0 = xw_ref[pl.ds(mv_ref[0, 1], CWP), :]               # (CWP, 128)
-    xs1 = xw_ref[pl.ds(mv_ref[0, 2], CWP), :]
-    xs = jnp.concatenate([xs0, xs1], axis=0)                # (2*CWP, 128)
+    cb0 = pl.multiple_of(mv_ref[0, 1], 8)
+    cb1 = pl.multiple_of(mv_ref[0, 2], 8)
+    xs0 = xw_ref[pl.ds(cb0, cwp), :]                        # (cwp, 128)
+    xs1 = xw_ref[pl.ds(cb1, cwp), :]
+    xs = jnp.concatenate([xs0, xs1], axis=0)                # (2*cwp, 128)
 
     # All one-hots are built LANE-MAJOR straight from the metadata rows (no
     # transpose: Mosaic relayouts of small int tiles cost ~15% of the whole
     # kernel).  The page table per 128-slot half comes out of a transposed
     # contraction: tab_half[l, j] = sum_q ohT[q, l] * xs[q, j], computed
     # by _select_dot (exact selection, 3 bf16 MXU passes).
-    iota_q = lax.broadcasted_iota(jnp.int32, (2 * CWP, 128), 0)
+    iota_q = lax.broadcasted_iota(jnp.int32, (2 * cwp, 128), 0)
     iota_s = lax.broadcasted_iota(jnp.int32, (GS, 128), 0)
-    tab_halves, ohs_halves = [], []
+    oh_halves, ohs_halves = [], []
     for i in range(lc // 128):
         drow = mv[1 + i : 2 + i, :]                         # (1, 128)
-        pw = (drow & (CWP - 1)) + ((drow >> 6) & 1) * CWP
-        ohT = (pw == iota_q).astype(xs.dtype)               # (2*CWP, 128)
-        tab_halves.append(_select_dot(ohT, xs, transpose_lhs=True))
+        pw = (drow & (cwp - 1)) + ((drow >> 6) & 1) * cwp
+        oh_halves.append((pw == iota_q).astype(xs.dtype))   # (2*cwp, 128)
         ohs_halves.append((drow >> 7) == iota_s)
-    tab = (
-        jnp.concatenate(tab_halves, axis=0) if lc > 128 else tab_halves[0]
-    )                                                       # (LC, 128)
+    oh_lanes = (
+        jnp.concatenate(oh_halves, axis=1) if lc > 128 else oh_halves[0]
+    )                                                       # (2*CWP, LC)
+    tab = _select_tab_stacked(oh_lanes, xs)                 # (LC, 128)
     onehot_s = (
         jnp.concatenate(ohs_halves, axis=1) if lc > 128 else ohs_halves[0]
     )                                                       # (GS, LC)
@@ -429,11 +524,12 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nchunks", "ngroups", "pages_pad", "lc", "interpret"),
+    static_argnames=("nchunks", "ngroups", "pages_pad", "lc", "cwp",
+                     "interpret"),
 )
 def _pet_matvec_padded(
     ent, dat, meta, meta_v, x_pad2d, *, nchunks, ngroups, pages_pad, lc,
-    interpret,
+    interpret, cwp=CWP,
 ):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -447,7 +543,7 @@ def _pet_matvec_padded(
         out_specs=pl.BlockSpec((GS, 128), lambda t, m: (m[t] & 0xFFFF, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_pet_kernel, lc=lc),
+        functools.partial(_pet_kernel, lc=lc, cwp=cwp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ngroups * GS, 128), jnp.float32),
         interpret=interpret,
@@ -455,7 +551,7 @@ def _pet_matvec_padded(
 
 
 def _pet_spmm_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref,
-                     *, lc, k):
+                     *, lc, k, cwp=CWP):
     """Multi-RHS (SpMM) variant of :func:`_pet_kernel`.
 
     The reference's core selling point #4 is blocked multi-RHS everywhere
@@ -484,23 +580,24 @@ def _pet_spmm_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref,
     # lets Mosaic prove the sublane alignment of the wide dynamic load
     cb0 = pl.multiple_of(mv_ref[0, 1], 8)
     cb1 = pl.multiple_of(mv_ref[0, 2], 8)
-    xs0 = xw_ref[pl.ds(cb0, CWP), :]                    # (CWP, k*128)
-    xs1 = xw_ref[pl.ds(cb1, CWP), :]
-    xs = jnp.concatenate([xs0, xs1], axis=0)            # (2*CWP, k*128)
+    xs0 = xw_ref[pl.ds(cb0, cwp), :]                    # (cwp, k*128)
+    xs1 = xw_ref[pl.ds(cb1, cwp), :]
+    xs = jnp.concatenate([xs0, xs1], axis=0)            # (2*cwp, k*128)
 
-    iota_q = lax.broadcasted_iota(jnp.int32, (2 * CWP, 128), 0)
+    iota_q = lax.broadcasted_iota(jnp.int32, (2 * cwp, 128), 0)
     iota_s = lax.broadcasted_iota(jnp.int32, (GS, 128), 0)
-    tab_halves, ohs_halves = [], []
+    oh_halves, ohs_halves = [], []
     for i in range(lc // 128):
         drow = mv[1 + i : 2 + i, :]                     # (1, 128)
-        pw = (drow & (CWP - 1)) + ((drow >> 6) & 1) * CWP
-        ohT = (pw == iota_q).astype(xs.dtype)           # (2*CWP, 128)
-        # exact one-hot selection in 3 bf16 MXU passes (see _select_dot)
-        tab_halves.append(_select_dot(ohT, xs, transpose_lhs=True))
+        pw = (drow & (cwp - 1)) + ((drow >> 6) & 1) * cwp
+        oh_halves.append((pw == iota_q).astype(xs.dtype))
         ohs_halves.append((drow >> 7) == iota_s)
-    tab = (
-        jnp.concatenate(tab_halves, axis=0) if lc > 128 else tab_halves[0]
-    )                                                   # (LC, k*128)
+    oh_lanes = (
+        jnp.concatenate(oh_halves, axis=1) if lc > 128 else oh_halves[0]
+    )                                                   # (2*CWP, LC)
+    # ONE deep exact-selection contraction shared by all k columns —
+    # the k-scaled matmul that previously capped amortization at ~2.2x
+    tab = _select_tab_stacked(oh_lanes, xs)             # (LC, k*128)
     onehot_s = (
         jnp.concatenate(ohs_halves, axis=1) if lc > 128 else ohs_halves[0]
     )                                                   # (GS, LC)
@@ -523,12 +620,12 @@ def _pet_spmm_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nchunks", "ngroups", "pages_pad", "lc", "k",
+    static_argnames=("nchunks", "ngroups", "pages_pad", "lc", "k", "cwp",
                      "interpret"),
 )
 def _pet_matmat_padded(
     ent, dat, meta, meta_v, x_wide, *, nchunks, ngroups, pages_pad, lc, k,
-    interpret,
+    interpret, cwp=CWP,
 ):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -544,7 +641,7 @@ def _pet_matmat_padded(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_pet_spmm_kernel, lc=lc, k=k),
+        functools.partial(_pet_spmm_kernel, lc=lc, k=k, cwp=cwp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (ngroups * GS, k * 128), jnp.float32
@@ -555,7 +652,8 @@ def _pet_matmat_padded(
 
 # columns per SpMM kernel pass: bounds the x-window VMEM footprint
 # (2 pipeline buffers x k x 128 KB) while amortizing the metadata stream
-PET_SPMM_MAX_COLS = 8
+# and the (k-scaled but per-pass-fixed-cost) page-select contraction
+PET_SPMM_MAX_COLS = 16
 
 
 def pet_matmat(pet, x2, interpret=None, max_cols=PET_SPMM_MAX_COLS):
@@ -583,7 +681,7 @@ def pet_matmat(pet, x2, interpret=None, max_cols=PET_SPMM_MAX_COLS):
             pet["ent"], pet["dat"], pet["meta"], pet["meta_v"], x_wide,
             nchunks=pet["nchunks"], ngroups=pet["ngroups"],
             pages_pad=pages_pad, lc=pet.get("lc", LC), k=kb,
-            interpret=interpret,
+            cwp=pet.get("cwp", CWP), interpret=interpret,
         )
         rows = y.shape[0]
         outs.append(
@@ -741,7 +839,8 @@ def pet_matvec(pet, x, interpret=None):
         pet["ent"], pet["dat"], pet["meta"], pet["meta_v"],
         x_pad.reshape(pages_pad, 128),
         nchunks=pet["nchunks"], ngroups=pet["ngroups"],
-        pages_pad=pages_pad, lc=pet.get("lc", LC), interpret=interpret,
+        pages_pad=pages_pad, lc=pet.get("lc", LC),
+        cwp=pet.get("cwp", CWP), interpret=interpret,
     )
     return y.reshape(-1)[:n]
 

@@ -100,21 +100,21 @@ def partition_pet(sp, n_shards, data_dtype=None, reorder=None):
         n, m = sp.shape
     n_local = n // n_shards
 
-    # all shards must share one chunk size (the arrays are stacked); the
-    # first shard's auto-pick decides
-    pets, lc = [], None
+    # all shards must share one chunk size and window geometry (the
+    # arrays are stacked); the first shard's auto-pick decides
+    pets, lc, cwp = [], None, None
     for i in range(n_shards):
         pet = ps.build_pet(sp[i * n_local : (i + 1) * n_local, :],
-                           data_dtype=data_dtype, lc=lc)
-        lc = pet["lc"]
+                           data_dtype=data_dtype, lc=lc, cwp=cwp)
+        lc, cwp = pet["lc"], pet["cwp"]
         pets.append(pet)
-    pets_t, lc_t = [], None
+    pets_t, lc_t, cwp_t = [], None, None
     for i in range(n_shards):
         pet = ps.build_pet(
             sp[:, i * n_local : (i + 1) * n_local].T.conj().tocsr(),
-            data_dtype=data_dtype, lc=lc_t,
+            data_dtype=data_dtype, lc=lc_t, cwp=cwp_t,
         )
-        lc_t = pet["lc"]
+        lc_t, cwp_t = pet["lc"], pet["cwp"]
         pets_t.append(pet)
     out = PETPartition(n_local=n_local, shape=(n, m), perm=perm_np)
     for tag, plist in (("", pets), ("t_", pets_t)):
@@ -125,7 +125,7 @@ def partition_pet(sp, n_shards, data_dtype=None, reorder=None):
         # hashable static geometry (pytree aux of the sharded operator)
         out[tag + "geom"] = (
             nchunks, plist[0]["ngroups"], plist[0]["pages_pad"],
-            plist[0]["lc"],
+            plist[0]["lc"], plist[0].get("cwp", 32),
         )
     out["fill"] = float(
         sum(p["nnz"] for p in pets)
@@ -159,7 +159,9 @@ class ShardedPETOperator:
         return (self.n_local, self.n_local)  # local SPMD view
 
     def _apply(self, prefix, geom, x_full, n_out):
-        nchunks, ngroups, pages_pad, lc = geom
+        # geom tuples from pre-cwp partitions have 4 entries (cwp=32)
+        nchunks, ngroups, pages_pad, lc = geom[:4]
+        cwp = geom[4] if len(geom) > 4 else 32
         pet = {
             "ent": self._a[prefix + "ent"],
             "dat": self._a[prefix + "dat"],
@@ -170,6 +172,7 @@ class ShardedPETOperator:
             "nchunks": nchunks,
             "ngroups": ngroups,
             "lc": lc,
+            "cwp": cwp,
         }
         interpret = (
             jax.default_backend() != "tpu"

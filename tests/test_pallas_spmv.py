@@ -227,16 +227,19 @@ def test_native_pet_builder_matches_numpy_bitwise():
         )
         sp.sum_duplicates()
 
-        host = _native.pet_build_native(sp)
+        from krylov_tpu.ops.pallas_spmv import build_pet, choose_cwp
+
+        # build_pet resolves the auto window size OUTSIDE the builders;
+        # pass the same choice to both so the parity check is exact
+        cwp = choose_cwp(sp)
+        host = _native.pet_build_native(sp, cwp=cwp)
         if host is None:
             pytest.skip("native builder unavailable (no compiler?)")
 
         os.environ["KRYLOV_TPU_NO_NATIVE"] = "1"
         _native._tried, _native._lib = False, None
         try:
-            from krylov_tpu.ops.pallas_spmv import build_pet
-
-            ref = build_pet(sp)
+            ref = build_pet(sp, cwp=cwp)
         finally:
             del os.environ["KRYLOV_TPU_NO_NATIVE"]
             _native._tried, _native._lib = False, None

@@ -346,7 +346,7 @@ def main():
             pet = build_pet(sp_mat)
             geom = dict(nchunks=pet["nchunks"], ngroups=pet["ngroups"],
                         pages_pad=pet["pages_pad"], lc=pet["lc"],
-                        interpret=False)
+                        cwp=pet.get("cwp", 32), interpret=False)
             npad = pet["pages_pad"] * 128
             xw = jnp.asarray(
                 prng.standard_normal(npad), jnp.float32
