@@ -403,6 +403,33 @@ def main():
             cg_s = min(cg_s, time.perf_counter() - t0)
         extras["cg100_ms"] = round(cg_s * 1e3, 2)
 
+        # fused VARIABLE-coefficient CG, 100 iterations: phase A streams
+        # the 5-plane coefficient stack and folds the p-update, stencil
+        # and pAp partial into one pass (~15N vs ~19N words/iter unfused)
+        def time_cg_var(fused):
+            @jax.jit
+            def solve_v(b):
+                _, info = cg_stencil(
+                    A, b, tol=0.0, atol=0.0, maxiter=100, fused=fused
+                )
+                return info.resnorms
+
+            r = solve_v(b)
+            float(jnp.sum(r))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = solve_v(b)
+                float(jnp.sum(r))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        var_f = time_cg_var(True)
+        var_u = time_cg_var(False)
+        extras["cg100_var_ms"] = round(var_f * 1e3, 2)
+        extras["cg100_var_unfused_ms"] = round(var_u * 1e3, 2)
+        extras["cg100_var_fused_speedup"] = round(var_u / var_f, 2)
+
         # multigrid-preconditioned CG, time-to-tolerance at the headline
         # size (16.7M rows), manufactured solution b = A x*.  Two points
         # make this an honest f32 benchmark:

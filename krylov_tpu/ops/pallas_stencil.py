@@ -354,12 +354,14 @@ def const_stencil2d_matvec(x, bands, block_rows=None, masked=True,
 
 
 # ---------------------------------------------------------------------------
-# Fused CG iteration kernels (constant-coefficient stencils)
+# Fused CG iteration kernels (const- and variable-coefficient stencils)
 # ---------------------------------------------------------------------------
 #
 # One CG iteration is two dependent phases separated by the pAp reduction
 # (SURVEY.md §3.2).  Fusing each phase into a single pass over the vectors
-# cuts HBM traffic from ~15N words to ~10N:
+# cuts HBM traffic from ~15N words to ~10N (const; the variable-coefficient
+# variant adds the unavoidable ndiag*N coefficient stream to phase A,
+# ~19N -> ~15N):
 #
 #   phase A:  p = r + omega * p;  Ap = A p;  partial <p, Ap>   (4N words)
 #   phase B:  y += alpha * p;  r -= alpha * Ap;  partial <r,r> (6N words)
@@ -428,6 +430,109 @@ def _cg_b_kernel(al_ref, y_ref, r_ref, p_ref, ap_ref,
     rho_ref[...] = jnp.concatenate(
         [part, jnp.zeros((7, 128), part.dtype)], axis=0
     )[None]
+
+
+def _cg_a_var_kernel(om_ref, c_ref, r_ref, p_ref, rt_ref, rb_ref, pt_ref,
+                     pb_ref, pn_ref, ap_ref, pap_ref, *, row_offsets,
+                     col_offsets, h, tm, ny):
+    """Variable-coefficient twin of :func:`_cg_a_kernel`.
+
+    Boundary handling follows the :func:`stencil2d_matvec` contract:
+    Dirichlet masking lives in the coefficient DATA (constructors zero
+    every entry whose 2-D neighbor leaves the grid), halo rows outside
+    the domain are explicit zeros — so the p-update recomputed on the
+    halo rows (``0 + omega * 0``) stays zero at the domain edges and no
+    in-kernel mask is needed.
+    """
+    om = om_ref[0, 0]
+    r_ext = jnp.concatenate([rt_ref[0], r_ref[...], rb_ref[0]], axis=0)
+    p_ext = jnp.concatenate([pt_ref[0], p_ref[...], pb_ref[0]], axis=0)
+    pn_ext = r_ext + om * p_ext  # halo rows recomputed locally
+    pn = pn_ext[h : h + tm]
+    pn_ref[...] = pn
+
+    acc = None
+    for d, (dr, dc) in enumerate(zip(row_offsets, col_offsets)):
+        seg = pn_ext[h + dr : h + dr + tm]
+        if dc:
+            # lane wrap-around killed by the zero boundary coefficients
+            seg = pltpu.roll(seg, (-dc) % ny, axis=1)
+        term = c_ref[d] * seg
+        acc = term if acc is None else acc + term
+    ap_ref[...] = acc
+
+    # per-block partial <p, Ap> on this block's own (8, 128) tile (see
+    # _cg_a_kernel for why not a shared accumulator / SMEM scalar)
+    prod = pn * acc
+    if prod.size % 128 == 0:
+        part = prod.reshape(-1, 128).sum(axis=0).reshape(1, 128)
+    else:  # tiny/odd blocks (tests): scalar in lane 0
+        part = jnp.zeros((1, 128), prod.dtype).at[0, 0].set(jnp.sum(prod))
+    pap_ref[...] = jnp.concatenate(
+        [part, jnp.zeros((7, 128), part.dtype)], axis=0
+    )[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row_offsets", "col_offsets", "block_rows")
+)
+def cg_fused_phase_a_var(omega, r, p, coeffs, row_offsets, col_offsets,
+                         block_rows=None):
+    """Returns (p_new, Ap, pAp) in one pass — variable-coefficient bands.
+
+    ``coeffs``: the operator's ``(ndiag, M, ny)`` plane stack (streamed
+    once per iteration; it is (ndiag)/(ndiag+4) of this phase's traffic).
+    """
+    M, ny = r.shape
+    ndiag = coeffs.shape[0]
+    h = max((max(0, -min(row_offsets)), max(0, max(row_offsets)), 1))
+
+    bpr = ny * r.dtype.itemsize
+    # c planes + r, p, p_new, Ap blocks + 4 halo planes + p_ext intermediate
+    tm = _pick_tm(M, ndiag + 6, 6 * h, bpr, min_tm=h,
+                  budget=13 * 1024 * 1024)
+    nb = M // tm
+
+    rt, rb = _halo_planes(r, nb, tm, h)
+    pt, pb = _halo_planes(p, nb, tm, h)
+    om = jnp.asarray(omega, r.dtype).reshape(1, 1)
+
+    kern = functools.partial(
+        _cg_a_var_kernel, row_offsets=row_offsets, col_offsets=col_offsets,
+        h=h, tm=tm, ny=ny,
+    )
+    pn, ap, pap = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (ndiag, tm, ny), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((nb, 8, 128), r.dtype),
+        ),
+        # pn reuses p's buffer (p is dead after this phase; halo reads come
+        # from the plane arrays) — fresh outputs halve the HBM rate
+        input_output_aliases={3: 0},
+    )(om, coeffs, r, p, rt, rb, pt, pb)
+    return pn, ap, jnp.sum(pap)
 
 
 def _halo_planes(x, nb, tm, h):

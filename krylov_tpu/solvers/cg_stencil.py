@@ -1,4 +1,5 @@
-"""Fused conjugate gradient for constant-coefficient stencil operators.
+"""Fused conjugate gradient for stencil operators (const- and
+variable-coefficient).
 
 Mathematically identical to :func:`krylov_tpu.cg` (same recurrence,
 division guards, explicit-residual double-check — reference:
@@ -20,7 +21,7 @@ import numpy as np
 
 from .._driver import WHILE_LOOP, Method, run
 from .._info import Info
-from ..ops.stencil import ConstStencilOperator
+from ..ops.stencil import ConstStencilOperator, GridStencilOperator
 
 
 class _FusedState(NamedTuple):
@@ -41,20 +42,33 @@ def cg_stencil(
     maxiter: Optional[int] = None,
     fused: bool = False,
 ):
-    """CG for :class:`ConstStencilOperator` on grid vectors.
+    """CG for :class:`ConstStencilOperator` / :class:`GridStencilOperator`
+    on grid vectors.
 
     ``fused=True`` opts into the two-pass fused Pallas iteration.
-    Measured on v5e at 16.7M rows (K-delta, marginal per-iteration):
-    1137 us/iter = 1.06x of the 10N-word streaming model at the 625 GB/s
-    pipeline ceiling — i.e. at the fused path's roofline — vs ~1500 us
-    for the unfused composition of the SpMV kernel with XLA vector ops
-    (~15N words).  The default remains unfused for generality
-    (preconditioners, multi-RHS); ``bench.py`` uses ``fused=True``.
+    Measured on v5e at 16.7M rows (K-delta, marginal per-iteration),
+    const-coefficient: 1137 us/iter = 1.06x of the 10N-word streaming
+    model at the 625 GB/s pipeline ceiling — i.e. at the fused path's
+    roofline — vs ~1500 us for the unfused composition of the SpMV
+    kernel with XLA vector ops (~15N words).  The variable-coefficient
+    variant streams the (ndiag, M, ny) plane stack through phase A
+    (~15N words/iter vs ~19N unfused); it also amortizes the per-call
+    halo-plane gather of the standalone SpMV over the whole phase (the
+    r/p planes are built by two strided slices and the p-update is
+    recomputed on the halo rows in-kernel).  The default remains unfused
+    for generality (preconditioners, multi-RHS); ``bench.py`` uses
+    ``fused=True``.
     """
     from ..ops import pallas_stencil
 
-    if not isinstance(A, ConstStencilOperator):
-        raise TypeError("cg_stencil requires a ConstStencilOperator")
+    if isinstance(A, ConstStencilOperator):
+        variant = "const"
+    elif isinstance(A, GridStencilOperator):
+        variant = "grid"
+    else:
+        raise TypeError(
+            "cg_stencil requires a ConstStencilOperator or GridStencilOperator"
+        )
     Mg, ny = A.grid
     b = jnp.asarray(b)
     flat_in = b.ndim == 1
@@ -64,9 +78,17 @@ def cg_stencil(
     N = Mg * ny
     maxiter = N if maxiter is None else maxiter
 
-    row_offsets = tuple(bd[0] for bd in A.bands)
+    if variant == "const":
+        row_offsets = tuple(bd[0] for bd in A.bands)
+        bands = A.bands
+    else:
+        row_offsets = A.row_offsets
+        bands = None
     use_fused = fused and pallas_stencil.supports(b2.dtype, Mg, ny, row_offsets)
-    bands = A.bands
+    if variant == "grid":
+        # the var-coef fused kernel accumulates in the vector dtype; bf16
+        # CG iterations are numerically meaningless, so gate on f32
+        use_fused = use_fused and b2.dtype == jnp.float32
 
     x02 = jnp.zeros_like(b2) if x0 is None else jnp.asarray(x0).reshape(Mg, ny)
     r0 = b2 - (A @ x02)
@@ -84,9 +106,13 @@ def cg_stencil(
 
     def step(s: _FusedState, criterion) -> _FusedState:
         omega = s.rho / jnp.where(s.rho_old != 0, s.rho_old, 1.0)
-        if use_fused:
+        if use_fused and variant == "const":
             p, Ap, pAp = pallas_stencil.cg_fused_phase_a(
                 omega, s.r, s.p, bands
+            )
+        elif use_fused:
+            p, Ap, pAp = pallas_stencil.cg_fused_phase_a_var(
+                omega, s.r, s.p, A.coeffs2d, A.row_offsets, A.col_offsets
             )
         else:
             p = s.r + omega * s.p

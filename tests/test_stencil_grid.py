@@ -289,3 +289,87 @@ def test_cg_fused_kernels_interpret_mode():
     np.testing.assert_allclose(
         float(jnp.sum(pap)), float(jnp.sum(pn_ref * ap_ref)), rtol=1e-4
     )
+
+
+def test_cg_fused_var_kernel_interpret_mode():
+    """Variable-coefficient fused phase-A kernel (interpret mode) vs the
+    operator's own matvec."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from krylov_tpu.ops import pallas_stencil as ps
+
+    rng = np.random.default_rng(23)
+    a = 0.5 + rng.random((16, 8))
+    A = stencil.diffusion_2d(a, dtype=np.float32)
+    M, ny = A.grid
+    r = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    omega = jnp.float32(0.7)
+
+    h, tm, nb = 1, 8, 2
+    rt, rb = ps._halo_planes(r, nb, tm, h)
+    pt, pb = ps._halo_planes(p, nb, tm, h)
+    om = jnp.asarray(omega).reshape(1, 1)
+    ndiag = A.coeffs2d.shape[0]
+    kern = functools.partial(
+        ps._cg_a_var_kernel, row_offsets=A.row_offsets,
+        col_offsets=A.col_offsets, h=h, tm=tm, ny=ny,
+    )
+    pn, ap, pap = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((ndiag, tm, ny), lambda i: (0, i, 0)),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32),
+        ),
+        interpret=True,
+    )(om, jnp.asarray(A.coeffs2d, jnp.float32), r, p, rt, rb, pt, pb)
+
+    pn_ref = r + omega * p
+    ap_ref = A @ pn_ref
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(pn_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        float(jnp.sum(pap)), float(jnp.sum(pn_ref * ap_ref)), rtol=1e-4
+    )
+
+
+def test_cg_stencil_grid_variable_coefficient_matches_generic_cg():
+    """cg_stencil accepts GridStencilOperator (unfused grid branch on CPU;
+    the fused var-coef kernel itself is pinned by the interpret-mode test
+    above and by tools/tpu_smoke.py on hardware)."""
+    rng = np.random.default_rng(24)
+    a = 0.5 + rng.random((8, 16))
+    A = stencil.diffusion_2d(a, dtype=np.float64)
+    b = jnp.asarray(rng.standard_normal(128))
+    sol_ref, info_ref = krylov_tpu.cg(A, b, tol=1e-12, maxiter=400)
+    sol, info = krylov_tpu.cg_stencil(A, b, tol=1e-12, maxiter=400)
+    assert info.success
+    assert info.numsteps == info_ref.numsteps
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-10)
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-9, atol=1e-13
+    )
+    # fused=True on CPU routes to the same unfused step (supports() is
+    # False off-TPU) — exercised for the grid variant's gating logic
+    sol_f, info_f = krylov_tpu.cg_stencil(A, b, tol=1e-12, maxiter=400,
+                                          fused=True)
+    assert info_f.success and info_f.numsteps == info.numsteps

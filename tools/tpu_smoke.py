@@ -57,6 +57,12 @@ def main():
     sol, info = krylov.cg_stencil(Ac, b, tol=1e-4, maxiter=2000, fused=True)
     check("cg_stencil_fused", relres(Ac, info.xk, b), 5e-4)
 
+    # 2b. fused CG on the VARIABLE-coefficient stencil kernel
+    a = np.asarray(0.5 + rng.random((256, 256)), np.float32)
+    Av = stencil.diffusion_2d(a)
+    sol, info = krylov.cg_stencil(Av, b, tol=1e-4, maxiter=2000, fused=True)
+    check("cg_stencil_var_fused", relres(Av, info.xk, b), 5e-4)
+
     # 3. GMRES(m) compiled
     sol, info = krylov.gmres(
         A, b, restart=60, tol=1e-3, maxiter=400, backend="while_loop"
