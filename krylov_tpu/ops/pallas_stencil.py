@@ -535,6 +535,155 @@ def cg_fused_phase_a_var(omega, r, p, coeffs, row_offsets, col_offsets,
     return pn, ap, jnp.sum(pap)
 
 
+def _cg_a_var_jac_kernel(om_ref, c_ref, d_ref, r_ref, p_ref, rt_ref, rb_ref,
+                         pt_ref, pb_ref, dt_ref, db_ref, pn_ref, ap_ref,
+                         pap_ref, *, row_offsets, col_offsets, h, tm, ny):
+    """Jacobi-preconditioned twin of :func:`_cg_a_var_kernel`.
+
+    The search-direction update reads the M-preconditioned residual
+    ``z = dinv * r`` (``dinv`` streamed as one extra plane):
+    ``p = z + omega * p``; halo rows recompute the same update from the
+    r/p/dinv halo planes (dinv halos are zero outside the domain, so
+    edge halo rows stay zero exactly as in the unpreconditioned kernel).
+    """
+    om = om_ref[0, 0]
+    r_ext = jnp.concatenate([rt_ref[0], r_ref[...], rb_ref[0]], axis=0)
+    p_ext = jnp.concatenate([pt_ref[0], p_ref[...], pb_ref[0]], axis=0)
+    d_ext = jnp.concatenate([dt_ref[0], d_ref[...], db_ref[0]], axis=0)
+    pn_ext = d_ext * r_ext + om * p_ext  # halo rows recomputed locally
+    pn = pn_ext[h : h + tm]
+    pn_ref[...] = pn
+
+    acc = None
+    for d, (dr, dc) in enumerate(zip(row_offsets, col_offsets)):
+        seg = pn_ext[h + dr : h + dr + tm]
+        if dc:
+            seg = pltpu.roll(seg, (-dc) % ny, axis=1)
+        term = c_ref[d] * seg
+        acc = term if acc is None else acc + term
+    ap_ref[...] = acc
+
+    prod = pn * acc
+    if prod.size % 128 == 0:
+        part = prod.reshape(-1, 128).sum(axis=0).reshape(1, 128)
+    else:  # tiny/odd blocks (tests): scalar in lane 0
+        part = jnp.zeros((1, 128), prod.dtype).at[0, 0].set(jnp.sum(prod))
+    pap_ref[...] = jnp.concatenate(
+        [part, jnp.zeros((7, 128), part.dtype)], axis=0
+    )[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row_offsets", "col_offsets", "block_rows")
+)
+def cg_fused_phase_a_var_jac(omega, r, p, coeffs, dinv, row_offsets,
+                             col_offsets, block_rows=None):
+    """Returns (p_new, Ap, pAp) in one pass — variable-coefficient bands,
+    Jacobi (diagonal) preconditioner ``dinv`` applied inside the p-update.
+    """
+    M, ny = r.shape
+    ndiag = coeffs.shape[0]
+    h = max((max(0, -min(row_offsets)), max(0, max(row_offsets)), 1))
+
+    bpr = ny * r.dtype.itemsize
+    # c + dinv planes + r, p, p_new, Ap blocks + 6 halo planes + p_ext
+    tm = _pick_tm(M, ndiag + 7, 8 * h, bpr, min_tm=h,
+                  budget=13 * 1024 * 1024)
+    nb = M // tm
+
+    rt, rb = _halo_planes(r, nb, tm, h)
+    pt, pb = _halo_planes(p, nb, tm, h)
+    dt, db = _halo_planes(dinv, nb, tm, h)
+    om = jnp.asarray(omega, r.dtype).reshape(1, 1)
+
+    kern = functools.partial(
+        _cg_a_var_jac_kernel, row_offsets=row_offsets,
+        col_offsets=col_offsets, h=h, tm=tm, ny=ny,
+    )
+    halo_spec = pl.BlockSpec(
+        (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    blk_spec = pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pn, ap, pap = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (ndiag, tm, ny), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            blk_spec, blk_spec, blk_spec,
+            halo_spec, halo_spec, halo_spec, halo_spec, halo_spec, halo_spec,
+        ],
+        out_specs=(
+            blk_spec, blk_spec,
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((nb, 8, 128), r.dtype),
+        ),
+        # pn reuses p's buffer (input 4: om, coeffs, dinv, r, p)
+        input_output_aliases={4: 0},
+    )(om, coeffs, dinv, r, p, rt, rb, pt, pb, dt, db)
+    return pn, ap, jnp.sum(pap)
+
+
+def _cg_b_jac_kernel(al_ref, d_ref, y_ref, r_ref, p_ref, ap_ref,
+                     yn_ref, rn_ref, rho_ref):
+    """Jacobi twin of :func:`_cg_b_kernel`: rho accumulates the
+    M-weighted norm ``<r, dinv r>`` of the new residual."""
+    al = al_ref[0, 0]
+    rn = r_ref[...] - al * ap_ref[...]
+    yn_ref[...] = y_ref[...] + al * p_ref[...]
+    rn_ref[...] = rn
+
+    prod = rn * (d_ref[...] * rn)
+    if prod.size % 128 == 0:
+        part = prod.reshape(-1, 128).sum(axis=0).reshape(1, 128)
+    else:
+        part = jnp.zeros((1, 128), prod.dtype).at[0, 0].set(jnp.sum(prod))
+    rho_ref[...] = jnp.concatenate(
+        [part, jnp.zeros((7, 128), part.dtype)], axis=0
+    )[None]
+
+
+@jax.jit
+def cg_fused_phase_b_jac(alpha, y, r, p, ap, dinv):
+    """Returns (y_new, r_new, rho_new) with ``rho = <r_new, dinv r_new>``."""
+    M, ny = r.shape
+    tm = _pick_tm(M, 7, 0, ny * r.dtype.itemsize, budget=13 * 1024 * 1024)
+    nb = M // tm
+    al = jnp.asarray(alpha, r.dtype).reshape(1, 1)
+    blk = pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    yn, rn, rho = pl.pallas_call(
+        _cg_b_jac_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            blk, blk, blk, blk, blk,
+        ],
+        out_specs=(
+            blk, blk,
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((M, ny), r.dtype),
+            jax.ShapeDtypeStruct((nb, 8, 128), r.dtype),
+        ),
+        # inputs: al, dinv, y, r, p, ap — yn and rn update y/r in place
+        input_output_aliases={2: 0, 3: 1},
+    )(al, dinv, y, r, p, ap)
+    return yn, rn, jnp.sum(rho)
+
+
 def _halo_planes(x, nb, tm, h):
     ny = x.shape[1]
     xr = x.reshape(nb, tm, ny)

@@ -351,6 +351,120 @@ def test_cg_fused_var_kernel_interpret_mode():
     )
 
 
+def test_cg_fused_var_jac_kernels_interpret_mode():
+    """Jacobi-preconditioned fused phase kernels (interpret mode) vs the
+    reference update formulas."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from krylov_tpu.ops import pallas_stencil as ps
+
+    rng = np.random.default_rng(25)
+    a = 0.5 + rng.random((16, 8))
+    A = stencil.diffusion_2d(a, dtype=np.float32)
+    M, ny = A.grid
+    r = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    d = jnp.asarray(A.diagonal()).reshape(M, ny).astype(jnp.float32)
+    dinv = 1.0 / d
+    omega = jnp.float32(0.6)
+
+    h, tm, nb = 1, 8, 2
+    rt, rb = ps._halo_planes(r, nb, tm, h)
+    pt, pb = ps._halo_planes(p, nb, tm, h)
+    dt, db = ps._halo_planes(dinv, nb, tm, h)
+    om = jnp.asarray(omega).reshape(1, 1)
+    ndiag = A.coeffs2d.shape[0]
+    kern = functools.partial(
+        ps._cg_a_var_jac_kernel, row_offsets=A.row_offsets,
+        col_offsets=A.col_offsets, h=h, tm=tm, ny=ny,
+    )
+    halo = pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0))
+    blk = pl.BlockSpec((tm, ny), lambda i: (i, 0))
+    pn, ap, pap = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((ndiag, tm, ny), lambda i: (0, i, 0)),
+            blk, blk, blk, halo, halo, halo, halo, halo, halo,
+        ],
+        out_specs=(blk, blk, pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32),
+        ),
+        interpret=True,
+    )(om, jnp.asarray(A.coeffs2d, jnp.float32), dinv, r, p,
+      rt, rb, pt, pb, dt, db)
+
+    pn_ref = dinv * r + omega * p
+    ap_ref = A @ pn_ref
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(pn_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        float(jnp.sum(pap)), float(jnp.sum(pn_ref * ap_ref)), rtol=1e-4
+    )
+
+    # phase B: in-place updates + M-weighted rho partial
+    alpha = jnp.float32(0.3)
+    y = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    al = jnp.asarray(alpha).reshape(1, 1)
+    yn, rn, rho = pl.pallas_call(
+        ps._cg_b_jac_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
+                  blk, blk, blk, blk, blk],
+        out_specs=(blk, blk, pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32),
+        ),
+        interpret=True,
+    )(al, dinv, y, r, pn, ap)
+    rn_ref = r - alpha * ap
+    np.testing.assert_allclose(
+        np.asarray(yn), np.asarray(y + alpha * pn), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rn), np.asarray(rn_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(jnp.sum(rho)), float(jnp.sum(rn_ref * dinv * rn_ref)), rtol=1e-4
+    )
+
+
+def test_cg_stencil_jacobi_matches_generic_preconditioned_cg():
+    """cg_stencil(M='jacobi') reproduces krylov_tpu.cg with a diagonal M
+    (same resnorm convention sqrt(<r, M r>), same trajectory)."""
+    from krylov_tpu._operators import DiagonalOperator
+
+    rng = np.random.default_rng(26)
+    a = jnp.asarray(0.5 + rng.random((8, 16)))
+    A = stencil.diffusion_2d(a, dtype=np.float64)
+    b = jnp.asarray(rng.standard_normal(128))
+    dinv = 1.0 / jnp.asarray(A.diagonal())
+    sol_ref, info_ref = krylov_tpu.cg(
+        A, b, M=DiagonalOperator(dinv), tol=1e-12, maxiter=400
+    )
+    sol, info = krylov_tpu.cg_stencil(A, b, M="jacobi", tol=1e-12, maxiter=400)
+    assert info.success
+    assert info.numsteps == info_ref.numsteps
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref), atol=1e-10)
+    m = min(len(info.resnorms), len(info_ref.resnorms))
+    np.testing.assert_allclose(
+        info.resnorms[:m], info_ref.resnorms[:m], rtol=1e-9, atol=1e-13
+    )
+    # rejected combinations
+    Ac = stencil.poisson_2d_const(8, 16, dtype=np.float64)
+    with pytest.raises(ValueError):
+        krylov_tpu.cg_stencil(Ac, b, M="jacobi")
+    with pytest.raises(ValueError):
+        krylov_tpu.cg_stencil(A, b, M="ilu")
+
+
 def test_cg_stencil_grid_variable_coefficient_matches_generic_cg():
     """cg_stencil accepts GridStencilOperator (unfused grid branch on CPU;
     the fused var-coef kernel itself is pinned by the interpret-mode test

@@ -63,6 +63,12 @@ def main():
     sol, info = krylov.cg_stencil(Av, b, tol=1e-4, maxiter=2000, fused=True)
     check("cg_stencil_var_fused", relres(Av, info.xk, b), 5e-4)
 
+    # 2c. fused Jacobi-preconditioned CG (dinv streamed through both phases)
+    sol, info = krylov.cg_stencil(
+        Av, b, tol=1e-4, maxiter=2000, fused=True, M="jacobi"
+    )
+    check("cg_stencil_var_fused_jacobi", relres(Av, info.xk, b), 5e-4)
+
     # 3. GMRES(m) compiled
     sol, info = krylov.gmres(
         A, b, restart=60, tol=1e-3, maxiter=400, backend="while_loop"
