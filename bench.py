@@ -407,19 +407,22 @@ def main():
         # the 5-plane coefficient stack and folds the p-update, stencil
         # and pAp partial into one pass (~15N vs ~19N words/iter unfused)
         def time_cg_var(fused):
-            @jax.jit
-            def solve_v(b):
+            # A enters as a pytree ARGUMENT: closing over it would embed
+            # the 335 MB coefficient stack as an HLO constant (too large
+            # for the remote-compile tunnel, and a bad program anyway)
+            @partial(jax.jit, static_argnums=2)
+            def solve_v(A_, b, fused_):
                 _, info = cg_stencil(
-                    A, b, tol=0.0, atol=0.0, maxiter=100, fused=fused
+                    A_, b, tol=0.0, atol=0.0, maxiter=100, fused=fused_
                 )
                 return info.resnorms
 
-            r = solve_v(b)
+            r = solve_v(A, b, fused)
             float(jnp.sum(r))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                r = solve_v(b)
+                r = solve_v(A, b, fused)
                 float(jnp.sum(r))
                 best = min(best, time.perf_counter() - t0)
             return best
