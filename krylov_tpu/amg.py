@@ -146,11 +146,14 @@ def _aggregate(A, theta):
     import scipy.sparse
 
     l1, n1 = _pairwise_labels(A, theta)
-    Q1 = scipy.sparse.csr_matrix(
-        (np.ones(A.shape[0], A.dtype), (np.arange(A.shape[0]), l1)),
-        shape=(A.shape[0], n1),
+    # A1 = Q1^T A Q1 with Q1 the tentative (one unit nonzero per row)
+    # aggregation operator is a pure relabel-and-sum of A's entries:
+    # A1[l1[i], l1[j]] += A[i, j].  One coo->csr pass (duplicate
+    # summation in C) replaces two generic spgemms.
+    C = A.tocoo()
+    A1 = scipy.sparse.csr_matrix(
+        (C.data, (l1[C.row], l1[C.col])), shape=(n1, n1)
     )
-    A1 = (Q1.T @ A @ Q1).tocsr()
     A1.sort_indices()  # canonical for both matching paths
     l2, n2 = _pairwise_labels(A1, theta)
     labels = l2[l1]
@@ -236,7 +239,9 @@ def _smoothed_prolongator(Al, theta, smooth_prolongator,
         scale = (4.0 / (3.0 * lmax)) / d
         AP.data *= np.repeat(scale, np.diff(AP.indptr))
         P = (P - AP).tocsr()
-    Ac = (P.conj().T @ Al @ P).tocsr()
+    # conjugate(copy=False) returns Al's P unchanged for real dtypes —
+    # P.conj() would copy O(nnz) data before the transpose view
+    Ac = (P.conjugate(copy=False).T @ Al @ P).tocsr()
     Ac.sort_indices()  # canonical: next level's matching needs it
     return P, Ac, lmax, labels, n_agg
 
@@ -357,7 +362,7 @@ class AMGPreconditioner:
         if A.shape[0] != A.shape[1]:
             raise ValueError("AMG needs a square matrix")
         if dtype is not None:
-            A = A.astype(dtype)
+            A = A.astype(dtype, copy=False)  # no-op when already dtype
         if not (A.has_canonical_format and A.has_sorted_indices):
             A = A.copy()  # canonicalize OUR copy, not the user's matrix
             A.sum_duplicates()
@@ -380,7 +385,7 @@ class AMGPreconditioner:
             _P, Ac, lmax, labels, n_agg = step
             lmaxs.append(lmax)
             if dtype is not None:
-                Ac = Ac.astype(dtype)
+                Ac = Ac.astype(dtype, copy=False)
             p_ws.append(
                 float(4.0 / (3.0 * lmax)) if smooth_prolongator else None
             )

@@ -33,15 +33,15 @@ struct Stream {
   std::vector<double> key;  // composite (row asc, jittered strength desc)
 };
 
-template <typename T>
-void build_stream(int64_t n, const int64_t* indptr, const int64_t* indices,
+template <typename T, typename I>
+void build_stream(int64_t n, const I* indptr, const I* indices,
                   const T* data, double theta, Stream* out) {
   const int64_t nnz = indptr[n];
   // d = |diag|, zeros -> 1, in the matrix dtype (numpy: np.abs + where)
   std::vector<T> d(n, static_cast<T>(1));
   for (int64_t i = 0; i < n; ++i) {
     for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
-      if (indices[j] == i) {
+      if (static_cast<int64_t>(indices[j]) == i) {
         T v = std::abs(data[j]);
         d[i] = (v > static_cast<T>(0)) ? v : static_cast<T>(1);
         break;
@@ -54,7 +54,7 @@ void build_stream(int64_t n, const int64_t* indptr, const int64_t* indices,
   const T theta_t = static_cast<T>(theta);  // numpy weak-scalar promotion
   for (int64_t i = 0; i < n; ++i) {
     for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
-      const int64_t cc = indices[j];
+      const int64_t cc = static_cast<int64_t>(indices[j]);
       if (cc == i) continue;
       // strength in the matrix dtype, exactly as numpy computes it
       const T s = std::abs(data[j]) / std::sqrt(d[i] * d[cc]);
@@ -106,38 +106,66 @@ extern "C" {
 
 // One pass of strongest-neighbor pairwise matching on canonical CSR
 // (sorted column indices, no duplicates).  data_kind: 0 = float32,
-// 1 = float64 (complex matrices take the numpy path).  Writes per-row
-// aggregate labels into labels_out and returns n_agg (>= 0), or -1 on
-// unsupported input.
-int64_t amg_pairwise_labels(int64_t n, const int64_t* indptr,
-                            const int64_t* indices, const void* data,
-                            int32_t data_kind, double theta, int64_t rounds,
+// 1 = float64 (complex matrices take the numpy path).  idx_kind:
+// 0 = int32, 1 = int64 — scipy's native index dtypes are read directly
+// (converting 2*nnz indices to int64 per call cost O(nnz) copies).
+// Writes per-row aggregate labels into labels_out and returns n_agg
+// (>= 0), or -1 on unsupported input.
+int64_t amg_pairwise_labels(int64_t n, const void* indptr,
+                            const void* indices, int32_t idx_kind,
+                            const void* data, int32_t data_kind,
+                            double theta, int64_t rounds,
                             int64_t* labels_out) {
   if (n <= 0) return -1;
   Stream st;
-  if (data_kind == 0)
-    build_stream<float>(n, indptr, indices,
-                        static_cast<const float*>(data), theta, &st);
-  else if (data_kind == 1)
-    build_stream<double>(n, indptr, indices,
-                         static_cast<const double*>(data), theta, &st);
+  if (idx_kind == 0 && data_kind == 0)
+    build_stream<float, int32_t>(
+        n, static_cast<const int32_t*>(indptr),
+        static_cast<const int32_t*>(indices),
+        static_cast<const float*>(data), theta, &st);
+  else if (idx_kind == 0 && data_kind == 1)
+    build_stream<double, int32_t>(
+        n, static_cast<const int32_t*>(indptr),
+        static_cast<const int32_t*>(indices),
+        static_cast<const double*>(data), theta, &st);
+  else if (idx_kind == 1 && data_kind == 0)
+    build_stream<float, int64_t>(
+        n, static_cast<const int64_t*>(indptr),
+        static_cast<const int64_t*>(indices),
+        static_cast<const float*>(data), theta, &st);
+  else if (idx_kind == 1 && data_kind == 1)
+    build_stream<double, int64_t>(
+        n, static_cast<const int64_t*>(indptr),
+        static_cast<const int64_t*>(indices),
+        static_cast<const double*>(data), theta, &st);
   else
     return -1;
 
   const int64_t ns = static_cast<int64_t>(st.r.size());
-  // sort (key, index) pairs: contiguous 16-byte records beat an
-  // index-indirect comparator by a wide margin, and the index tie-break
-  // makes plain sort reproduce numpy's stable argsort exactly
-  std::vector<int64_t> rs, cs;  // the key-sorted stream, materialized
+  // Global stable sort by the composite key == concatenation of PER-ROW
+  // stable sorts: the stream is built row-major (r non-decreasing) and
+  // row r's keys lie in [2r - 0.5, 2r] (t2 in [0, 0.5]), so key ranges
+  // of distinct rows are disjoint and increasing — a global comparison
+  // sort can never move an entry across a row boundary.  Sorting each
+  // row segment independently (typical segment: the handful of strong
+  // neighbors of one node) replaces the O(ns log ns) full-stream sort
+  // with near-linear work; the (key, index) pair tie-break reproduces
+  // numpy's kind="stable" order exactly, as before.
+  std::vector<int64_t> rs(ns), cs(ns);  // the key-sorted stream
   {
-    std::vector<std::pair<double, int64_t>> kv(ns);
-    for (int64_t i = 0; i < ns; ++i) kv[i] = {st.key[i], i};
-    std::sort(kv.begin(), kv.end());
-    rs.resize(ns);
-    cs.resize(ns);
-    for (int64_t i = 0; i < ns; ++i) {
-      rs[i] = st.r[kv[i].second];
-      cs[i] = st.c[kv[i].second];
+    std::vector<std::pair<double, int64_t>> kv;
+    for (int64_t lo = 0; lo < ns;) {
+      const int64_t row = st.r[lo];
+      int64_t hi = lo + 1;
+      while (hi < ns && st.r[hi] == row) ++hi;
+      kv.clear();
+      for (int64_t i = lo; i < hi; ++i) kv.emplace_back(st.key[i], i);
+      std::sort(kv.begin(), kv.end());
+      for (int64_t i = lo; i < hi; ++i) {
+        rs[i] = st.r[kv[i - lo].second];
+        cs[i] = st.c[kv[i - lo].second];
+      }
+      lo = hi;
     }
   }
 

@@ -207,7 +207,8 @@ def _load_agg():
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.amg_pairwise_labels.restype = ctypes.c_int64
         lib.amg_pairwise_labels.argtypes = [
-            ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_double, ctypes.c_int64, i64p,
         ]
         _agg_lib = lib
@@ -237,14 +238,24 @@ def amg_pairwise_labels_native(csr, theta, rounds=8):
     if not csr.has_sorted_indices:
         return None
     n = csr.shape[0]
-    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
-    indices = np.ascontiguousarray(csr.indices, dtype=np.int64)
+    # scipy's int32/int64 index arrays are read directly by the kernel
+    # (idx_kind dispatch) — converting 2*nnz indices to int64 per call
+    # was an O(nnz) copy tax on every matching pass
+    if csr.indptr.dtype == np.int32 and csr.indices.dtype == np.int32:
+        idx_kind = 0
+        indptr = np.ascontiguousarray(csr.indptr)
+        indices = np.ascontiguousarray(csr.indices)
+    else:
+        idx_kind = 1
+        indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(csr.indices, dtype=np.int64)
     data = np.ascontiguousarray(csr.data)
     labels = np.empty(n, dtype=np.int64)
     n_agg = lib.amg_pairwise_labels(
         n,
-        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        idx_kind,
         data.ctypes.data_as(ctypes.c_void_p),
         kind, float(theta), int(rounds),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
