@@ -14,9 +14,13 @@ reported alongside so both regimes are visible.
 
 Timing: through the remote-TPU tunnel ``block_until_ready`` can return
 before device completion and a host roundtrip costs ~100ms, so each
-measurement chains K matvecs inside one compiled ``lax.fori_loop``, forces
-completion with a scalar readback, and differences two K values to cancel
-all fixed overhead.
+measurement chains K matvecs inside one compiled ``lax.fori_loop`` (K a
+traced trip count — one compile serves every K), forces completion with a
+scalar readback, and fits a least-squares slope of total time over >=4
+values of K; the intercept absorbs all fixed dispatch/readback overhead.
+The fit is guarded: a non-positive slope or a loose fit retries, then
+raises — the bench refuses to emit a non-physical number (round-4 shipped
+``csr_pet_rcm_speedup: -65`` from an unguarded two-point difference).
 
 Prints ONE JSON line:
   {"metric": "spmv_poisson2d_hbm_bandwidth", "value": <GB/s>, "unit":
@@ -109,29 +113,54 @@ def main():
     rng = np.random.default_rng(0)
 
     # chained matvec u <- A u; u is dead after each application, so the
-    # kernel may reuse its buffer (alias_x)
-    @partial(jax.jit, static_argnums=(2, 3, 4))
+    # kernel may reuse its buffer (alias_x).  K is a traced trip count:
+    # one compile serves every chain length the slope fit samples.
+    @partial(jax.jit, static_argnums=(2, 3))
     def chain_var(c2, v, ro, co, K):
-        if on_tpu:
-            body = lambda i, u: stencil2d_matvec(c2, u, ro, co, alias_x=True)
-        else:
-            op = stencil.GridStencilOperator(c2, None, 0)  # placeholder
-            body = None
+        body = lambda i, u: stencil2d_matvec(c2, u, ro, co, alias_x=True)
         return lax.fori_loop(0, K, body, v)
 
-    def timed(fn, args, k_lo, k_hi, reps):
+    def timed(fn, args, k_lo, k_hi, reps, _retries=2):
+        """Per-iteration time: least-squares slope of total time over >=4
+        chain lengths K in [k_lo, k_hi].  min-of-reps per point rejects
+        scheduling noise; the intercept absorbs dispatch/readback
+        overhead.  Refuses to return a non-physical estimate: the slope
+        must be positive and the fit tight (rms residual <= 25% of the
+        K-span of measured times), else the whole sweep repeats; after
+        ``_retries`` it raises rather than emit garbage."""
+        ks = np.unique(
+            np.round(np.linspace(k_lo, k_hi, 4)).astype(np.int64)
+        )
+
         def t(K):
-            r = fn(*args, K)
+            r = fn(*args, int(K))
             float(jnp.sum(r))  # readback forces completion
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                r = fn(*args, K)
+                r = fn(*args, int(K))
                 float(jnp.sum(r))
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        return (t(k_hi) - t(k_lo)) / (k_hi - k_lo)
+        t(ks[-1])  # one warmup at the longest chain (compile + caches)
+        last = None
+        for _ in range(_retries + 1):
+            ts = np.array([t(K) for K in ks], dtype=float)
+            kk = ks.astype(float)
+            slope, icept = np.polyfit(kk, ts, 1)
+            pred = slope * kk + icept
+            span = float(ts.max() - ts.min())
+            rms = float(np.sqrt(np.mean((ts - pred) ** 2)))
+            last = (slope, rms, span, ts)
+            if slope > 0 and span > 0 and rms <= 0.25 * span:
+                return float(slope)
+        raise RuntimeError(
+            f"timed(): no stable positive slope after {_retries + 1} "
+            f"sweeps (slope={last[0]:.3e}s, rms={last[1]:.3e}, "
+            f"span={last[2]:.3e}, times={last[3].tolist()}, "
+            f"ks={ks.tolist()})"
+        )
 
     k_lo, k_hi, reps = (8, 136, 4) if on_tpu else (2, 10, 2)
 
@@ -147,7 +176,7 @@ def main():
         else:
             op = stencil.GridStencilOperator(c2, A.offsets, A.ny, hermitian=True)
 
-            @partial(jax.jit, static_argnums=1)
+            @jax.jit
             def chain_cpu(v, K):
                 return lax.fori_loop(0, K, lambda i, u: op._apply_grid(u), v)
 
@@ -178,7 +207,7 @@ def main():
         )
         x = jnp.asarray(rng.standard_normal(Ac.grid), jnp.float32)
 
-        @partial(jax.jit, static_argnums=(1, 2))
+        @partial(jax.jit, static_argnums=(1,))
         def chain_const(v, bands, K):
             return lax.fori_loop(
                 0, K,
@@ -218,9 +247,11 @@ def main():
         )
         pet = build_pet(sp_csr)
 
-        def time_pet_mv(petx):
+        def time_pet_mv(petx, k_lo=2, k_hi=18):
             # chained-matvec timer shared by the irregular and the
-            # RCM-reorder measurements below
+            # RCM-reorder measurements below (the small RCM matrices pass
+            # a wider K range: their ~us per-iteration times need longer
+            # chains to rise above tunnel noise)
             geom = dict(nchunks=petx["nchunks"], ngroups=petx["ngroups"],
                         pages_pad=petx["pages_pad"], lc=petx["lc"],
                         cwp=petx.get("cwp", 32), interpret=False)
@@ -229,7 +260,7 @@ def main():
                 rng.standard_normal(npad), jnp.float32
             ).reshape(petx["pages_pad"], 128)
 
-            @partial(jax.jit, static_argnums=5)
+            @jax.jit
             def chainx(ent, dat, meta, meta_v, x2, K):
                 def body(i, xc):
                     y = _pet_matvec_padded(
@@ -244,7 +275,7 @@ def main():
                 chainx,
                 (petx["ent"], petx["dat"], petx["meta"], petx["meta_v"],
                  xw2),
-                2, 18, 3,
+                k_lo, k_hi, 3,
             )
 
         dtp = time_pet_mv(pet)
@@ -266,7 +297,7 @@ def main():
             rng.standard_normal((pet["pages_pad"], K_RHS * 128)), jnp.float32
         )
 
-        @partial(jax.jit, static_argnums=5)
+        @jax.jit
         def chain_pet_spmm(ent, dat, meta, meta_v, xw, K):
             def body(i, u):
                 y = _pet_matmat_padded(
@@ -306,7 +337,7 @@ def main():
             rng.standard_normal((pet["pages_pad"], K16 * 128)), jnp.float32
         )
 
-        @partial(jax.jit, static_argnums=5)
+        @jax.jit
         def chain_pet_spmm16(ent, dat, meta, meta_v, xw, K):
             def body(i, u):
                 y = _pet_matmat_padded(
@@ -355,8 +386,11 @@ def main():
 
         pet_s = build_pet(sp_scr)
         pet_r = build_pet(sp_rcm)
-        fill_s, dt_s = pet_s["fill"], time_pet_mv(pet_s)
-        fill_r, dt_r = pet_r["fill"], time_pet_mv(pet_r)
+        # scrambled: ~115 MB of slots per pass (~140 us/iter); RCM: ~4 MB
+        # (~5 us/iter) — chain lengths sized so the top point is ~10 ms,
+        # well above tunnel jitter, on both sides
+        fill_s, dt_s = pet_s["fill"], time_pet_mv(pet_s, 8, 64)
+        fill_r, dt_r = pet_r["fill"], time_pet_mv(pet_r, 64, 1024)
         del pet_s, pet_r
         extras["csr_pet_rcm_speedup"] = round(dt_s / dt_r, 2)
         extras["csr_pet_rcm_fill"] = round(fill_r, 4)
@@ -622,7 +656,7 @@ def main():
         time_solve("cg_jacobi", cg_generic, Ap0, Mj0, 1500)
 
     target = 0.8 * peak
-    print(json.dumps({
+    payload = {
         "metric": "spmv_poisson2d_hbm_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
@@ -634,7 +668,29 @@ def main():
         "nnz_per_s": round(nnz / dt, 1),
         "spmv_us": round(dt * 1e6, 2),
         **extras,
-    }))
+    }
+    _guard_payload(payload)
+    print(json.dumps(payload))
+
+
+def _guard_payload(payload):
+    """Refuse to emit physically impossible numbers.
+
+    Every numeric metric must be finite, and — except for the listed
+    can-be-nonpositive keys — strictly positive.  A violation raises so
+    the driver records a failed bench instead of a plausible-looking
+    garbage value (round-4 lesson: ``csr_pet_rcm_speedup: -65.07``)."""
+    nonpositive_ok = {"cg_plain_iters_to_tol"}
+    bad = []
+    for k, v in payload.items():
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            continue
+        if not np.isfinite(v):
+            bad.append(f"{k}={v} (non-finite)")
+        elif v <= 0 and k not in nonpositive_ok and not k.endswith("_iters"):
+            bad.append(f"{k}={v} (non-positive)")
+    if bad:
+        raise RuntimeError("bench refuses to emit: " + ", ".join(bad))
 
 
 if __name__ == "__main__":

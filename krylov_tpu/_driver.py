@@ -41,6 +41,50 @@ EAGER = "eager"
 WHILE_LOOP = "while_loop"
 
 
+class ShardMonitor:
+    """Per-iteration observability hook for SPMD (``shard_map``) solves.
+
+    The reference fires ``callback(x, r)`` every iteration on its only
+    execution path (reference: src/krylov/cg.py:119-120, 202-204).  Inside
+    an SPMD program that exact contract would be misleading — ``x`` and
+    ``r`` are shard-local slabs, and a host callback would fire once PER
+    SHARD.  ``ShardMonitor`` is the honest flagship-path analogue: the
+    drivers recognize it and fire ``fn(k, resnorm)`` on the rank-0 shard
+    of ``axis`` only, where ``k`` is the iteration index (0 for the
+    initial residual) and ``resnorm`` the GLOBAL recurrence residual
+    norm appended to ``info.resnorms`` at step ``k`` (already ``psum``-
+    reduced, hence replicated across shards; the explicit-residual
+    double-check may later overwrite history entries — the hook reports
+    the recurrence value, matching the reference's callback-vs-history
+    semantics).  ``fn`` is called
+    ``numsteps + 1`` times, the reference count.  Delivery uses an
+    unordered ``jax.debug.callback``; ``k`` identifies the iteration, so
+    host-side arrival order never matters.
+    """
+
+    def __init__(self, fn, axis=None):
+        self.fn = fn
+        self.axis = axis
+
+    def __call__(self, *args):
+        # solvers' pre-loop ``callback(x0, r0)`` lands here with traced
+        # shard-local vectors; the driver fires the (0, resnorm0) monitor
+        # call itself — nothing to do
+        return None
+
+    def fire(self, k, resnorm):
+        def _go(_):
+            jax.debug.callback(self.fn, k, resnorm)
+            return jnp.int32(0)
+
+        if self.axis is not None:
+            lax.cond(
+                lax.axis_index(self.axis) == 0, _go, lambda _: jnp.int32(0), 0
+            )
+        else:
+            _go(0)
+
+
 class Method(NamedTuple):
     """Hooks describing one Krylov method to the generic drivers."""
 
@@ -87,8 +131,11 @@ def run(
 
 
 def _run_eager(state, method: Method, *, tol, atol, maxiter, callback):
+    monitor = callback if isinstance(callback, ShardMonitor) else None
     resnorms = [state.resnorm]
     criterion = jnp.maximum(tol * resnorms[0], atol)
+    if monitor is not None:
+        monitor.fn(0, np.asarray(state.resnorm))
     success = False
     k = 0
     while True:
@@ -115,7 +162,9 @@ def _run_eager(state, method: Method, *, tol, atol, maxiter, callback):
             success = True
             break
 
-        if callback is not None and method.callback_args is not None:
+        if monitor is not None:
+            monitor.fn(k + 1, np.asarray(state.resnorm))
+        elif callback is not None and method.callback_args is not None:
             callback(*method.callback_args(state))
 
         resnorms.append(state.resnorm)
@@ -127,11 +176,14 @@ def _run_eager(state, method: Method, *, tol, atol, maxiter, callback):
 
 def _run_while(state0, method: Method, *, tol, atol, maxiter,
                callback=None):
+    monitor = callback if isinstance(callback, ShardMonitor) else None
     resnorm0 = state0.resnorm
     rdtype = jnp.asarray(resnorm0).dtype
     buf = jnp.zeros((maxiter + 1,) + jnp.shape(resnorm0), rdtype).at[0].set(resnorm0)
     criterion = jnp.maximum(tol * resnorm0, atol)
     has_early = hasattr(state0, "early_success")
+    if monitor is not None:
+        monitor.fire(jnp.asarray(0, jnp.int32), resnorm0)
 
     def body(carry):
         s, k, buf, done, success = carry
@@ -158,7 +210,25 @@ def _run_while(state0, method: Method, *, tol, atol, maxiter,
         def _step(args):
             s, k, buf = args
             s2 = method.step(s, criterion)
-            if callback is not None and method.callback_args is not None:
+            if monitor is not None:
+                # (k+1, global resnorm) from the rank-0 shard only; an
+                # early-success exit overwrites entry k without advancing
+                # the count, so it fires no call — same skip as the
+                # callback path below, keeping the numsteps+1 total
+                def _mfire(a):
+                    k_, rn_ = a
+                    monitor.fire(k_ + 1, rn_)
+                    return jnp.int32(0)
+
+                marg = (k, jnp.asarray(s2.resnorm).astype(rdtype))
+                if has_early:
+                    lax.cond(
+                        s2.early_success,
+                        lambda a: jnp.int32(0), _mfire, marg,
+                    )
+                else:
+                    _mfire(marg)
+            elif callback is not None and method.callback_args is not None:
                 # per-iteration user callback from inside the compiled
                 # loop (SURVEY §5; reference contract: called once per
                 # iteration, reference: src/krylov/cg.py:202-204).  The

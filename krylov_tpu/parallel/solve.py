@@ -20,6 +20,7 @@ import numpy as np
 from jax import lax, shard_map
 from jax.sharding import PartitionSpec as P
 
+from .._driver import ShardMonitor
 from .._info import Info
 from ..ops.bsr import BSROperator
 from ..ops.sparse import CSROperator
@@ -50,6 +51,7 @@ def sharded_solve(
     atol=1e-15,
     maxiter=None,
     reorder=None,
+    callback=None,
     **solver_kwargs,
 ):
     """Solve ``A x = b`` with ``solver`` row-partitioned over ``mesh``.
@@ -93,12 +95,25 @@ def sharded_solve(
     when unconverged, ``info.resnorms`` a host array of shape
     ``(numsteps + 1, *b.shape[1:])``.
 
-    No ``callback=`` here by design: inside the SPMD program a host
-    callback would fire once PER SHARD with shard-local slabs — a
-    misleading contract.  Monitoring uses the returned full
-    ``info.resnorms`` history (replay it through your callback after the
-    solve); the single-device solvers honor per-iteration callbacks on
-    both backends (reference: src/krylov/cg.py:202-204).
+    ``callback`` — per-iteration observability hook, fired from INSIDE
+    the compiled SPMD while_loop: ``callback(k, resnorm)`` with the
+    iteration index (0 = initial residual) and the GLOBAL recurrence
+    residual norm — the value iteration ``k`` appends to
+    ``info.resnorms`` (the explicit-residual double-check may later
+    overwrite history entries whose recurrence value dipped below the
+    criterion; the overwrite persists in ``info.resnorms`` but the hook
+    saw the recurrence value — exactly the reference's callback-vs-
+    history semantics, reference: src/krylov/cg.py:184-204).  Called
+    ``numsteps + 1`` times, the reference's count (reference:
+    src/krylov/cg.py:119-120, 202-204).  It deliberately does NOT
+    receive ``(x, r)`` vectors: inside the SPMD program those are
+    shard-local slabs and a host callback would fire once per shard — a
+    misleading contract.  The hook fires from the rank-0 row shard only
+    (with ``shard_rhs`` each rhs shard reports its own columns);
+    delivery is unordered, so use ``k`` — not arrival order — to index
+    iterations.  For full ``callback(x, r)`` parity, replay
+    ``info.resnorms`` after the solve, or run single-device where both
+    backends honor the reference contract exactly.
     """
     mesh = make_mesh() if mesh is None else mesh
     n_rows = mesh.shape[ROWS]
@@ -173,7 +188,8 @@ def sharded_solve(
             sol_p, info = sharded_solve(
                 solver, A_p, b_p, mesh=mesh, shard_rhs=shard_rhs,
                 x0=x0_p, M_diag=Md_p, M_factory=M_factory, tol=tol,
-                atol=atol, maxiter=maxiter, **solver_kwargs,
+                atol=atol, maxiter=maxiter, callback=callback,
+                **solver_kwargs,
             )
             inv_np = invert_permutation(perm_np)
             xk = jnp.take(info.xk, jnp.asarray(inv_np, jnp.int32), axis=0)
@@ -192,7 +208,7 @@ def sharded_solve(
             solver, A, b, restart=restart, mesh=mesh, shard_rhs=shard_rhs,
             x0=x0, M_diag=M_diag, M_factory=M_factory,
             M_partition=M_partition, tol=tol, atol=atol,
-            maxiter=maxiter, **solver_kwargs,
+            maxiter=maxiter, callback=callback, **solver_kwargs,
         )
 
     # grid-stencil fast paths: 2-D layout end-to-end, Pallas kernel
@@ -211,7 +227,7 @@ def sharded_solve(
         return _sharded_solve_grid(
             solver, A, b, mesh=mesh, x0=x0, M_diag=M_diag,
             M_factory=M_factory, tol=tol, atol=atol, maxiter=maxiter,
-            **solver_kwargs,
+            callback=callback, **solver_kwargs,
         )
 
     N = b.shape[0]
@@ -350,6 +366,8 @@ def sharded_solve(
         A_op = make_local(*A_l)
         inner = psum_inner(b_l.shape, ROWS)
         kw = dict(solver_kwargs)
+        if callback is not None:
+            kw["callback"] = ShardMonitor(callback, axis=ROWS)
         if accepts_fused and "fused_inner" not in kw:
             # pipelined solvers: all of an iteration's scalars in ONE psum
             kw["fused_inner"] = psum_fused_inner(ROWS)
@@ -404,6 +422,8 @@ def sharded_solve(
         check_vma=False,
     )
     xk, success, numsteps, buf = jax.jit(fn)(b, x0, Md, *A_arrays, *M_arrays)
+    if callback is not None:
+        jax.effects_barrier()  # all monitor callbacks have landed
 
     if pad_rows:
         xk = xk[:N]
@@ -421,7 +441,7 @@ def sharded_solve(
 
 def _sharded_solve_grid(
     solver, A, b, *, mesh, x0, tol, atol, maxiter, M_diag=None,
-    M_factory=None, **solver_kwargs
+    M_factory=None, callback=None, **solver_kwargs
 ):
     """Row-partitioned solve in the grid (M, ny[, k]) layout — see
     parallel/grid.py.  A trailing RHS-column axis rides along unsharded."""
@@ -512,6 +532,8 @@ def _sharded_solve_grid(
         import inspect
 
         kw = dict(solver_kwargs)
+        if callback is not None:
+            kw["callback"] = ShardMonitor(callback, axis=ROWS)
         _gp = inspect.signature(solver).parameters
         _pp = "M" if "M" in _gp else ("Ml" if "Ml" in _gp else None)
         if "fused_inner" in _gp and "fused_inner" not in kw:
@@ -550,6 +572,8 @@ def _sharded_solve_grid(
         check_vma=False,
     )
     xk, success, numsteps, buf = jax.jit(fn)(b2, x02, Md2, coeff_arr)
+    if callback is not None:
+        jax.effects_barrier()  # all monitor callbacks have landed
 
     if pad_grid:
         xk = xk[:Mg]
@@ -629,12 +653,15 @@ def _local_pet(*arrs, geom, geom_t, n_local, n_global):
 
 def _sharded_restarted(
     solver, A, b, *, restart, mesh, shard_rhs, x0, M_diag, M_factory=None,
-    M_partition=None, tol, atol, maxiter, **solver_kwargs,
+    M_partition=None, tol, atol, maxiter, callback=None, **solver_kwargs,
 ):
     """Restarted sharded solve: one compiled cycle per outer iteration.
 
     Convergence is judged against the initial residual's criterion across
-    cycles (same contract as the single-chip gmres(restart=m))."""
+    cycles (same contract as the single-chip gmres(restart=m)).  A
+    ``callback`` monitor fires per cycle with cycle-local iteration
+    indices (each cycle restarts ``k`` at 0 for its warm-started
+    residual)."""
     N = b.shape[0] if b.ndim == 1 else int(np.prod(b.shape))
     total_max = N if maxiter is None else maxiter
     m = min(restart, total_max)
@@ -649,7 +676,7 @@ def _sharded_restarted(
         kw = dict(
             mesh=mesh, shard_rhs=shard_rhs, x0=x, M_diag=M_diag,
             M_factory=M_factory, M_partition=M_partition,
-            maxiter=cycle_max, **solver_kwargs,
+            maxiter=cycle_max, callback=callback, **solver_kwargs,
         )
         if criterion is None:
             sol, info = sharded_solve(solver, A, b, tol=tol, atol=atol, **kw)

