@@ -303,6 +303,55 @@ def main():
         1e-3,
     )
 
+    # 6h. mixed-precision iterative refinement on-chip: bf16 inner CG
+    # (half the HBM traffic per matvec) + f32 defect correction must
+    # recover f32-level accuracy (round-4 verdict item 9)
+    Alow = stencil.ConstStencilOperator(
+        (256, 256), Ac.offsets_nd, Ac.weights, jnp.bfloat16
+    )
+    solrf, inforf = krylov.refine(
+        Ac, b, A_low=Alow, inner_tol=1e-2, inner_maxiter=200,
+        tol=1e-4, maxiter=20, backend="while_loop",
+        inner=lambda u, v: jnp.sum(jnp.conj(u) * v),
+    )
+    check("refine_bf16_inner", relres(Ac, inforf.xk, b), 5e-4)
+
+    # 6i. differentiable solve on-chip: implicit-function-theorem grad
+    # through a compiled CG, checked against a directional finite
+    # difference (loose f32 band — this is a path check on the adjoint
+    # solve, the tight parity lives in tests/test_diffable.py)
+    from krylov_tpu import diffable
+
+    nd = 64
+    Ad0 = stencil.poisson_2d(nd, nd, dtype=np.float32)
+    bd = jnp.asarray(rng.standard_normal((nd, nd)), jnp.float32)
+
+    def loss(c2):
+        Aop = stencil.GridStencilOperator(
+            c2, Ad0.offsets, Ad0.ny, hermitian=True
+        )
+        x = diffable.solve(
+            Aop, bd, params=(c2,),
+            make_op=lambda c: stencil.GridStencilOperator(
+                c, Ad0.offsets, Ad0.ny, hermitian=True
+            ),
+            tol=1e-6, maxiter=800, backend="while_loop",
+            inner=lambda u, v: jnp.sum(jnp.conj(u) * v),
+        )
+        return jnp.sum(x * x)
+
+    g = jax.jit(jax.grad(loss))(Ad0.coeffs2d)
+    dirn = jnp.asarray(
+        rng.standard_normal(Ad0.coeffs2d.shape), jnp.float32
+    )
+    eps = 1e-3
+    fd = (loss(Ad0.coeffs2d + eps * dirn) - loss(Ad0.coeffs2d - eps * dirn)) / (
+        2 * eps
+    )
+    got = float(jnp.sum(g * dirn))
+    err_g = abs(got - float(fd)) / (abs(float(fd)) + 1e-6)
+    check("diffable_grad_fd", err_g, 5e-2)
+
     # 7. bf16 const-stencil matvec consistency
     x16 = jnp.asarray(rng.standard_normal(Ac.grid), jnp.bfloat16)
     A16 = stencil.ConstStencilOperator(
