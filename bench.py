@@ -638,16 +638,27 @@ def main():
             [-npg, -1, 0, 1, npg],
             shape=(Np, Np), format="csr", dtype=np.float32,
         )
+        # the solve's own operator is built FIRST and reused as the
+        # cycle's fine level (fine_operator=): what a real user pays —
+        # the operator exists for the solve regardless, and duplicating
+        # the largest device buffer was pure waste.  Its build time is
+        # reported separately.
         t0 = time.perf_counter()
-        Mamg = AMGPreconditioner.from_scipy(lap0, dtype=np.float32)
+        Ap0 = PETOperator.from_scipy(lap0, with_rmatvec=False)
+        extras["amg_fine_op_build_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        Mamg = AMGPreconditioner.from_scipy(
+            lap0, dtype=np.float32, fine_operator=Ap0
+        )
         extras["amg_setup_cold_s"] = round(time.perf_counter() - t0, 2)
         # steady-state setup (page-cache/alloc warm; what a user solving
         # a sequence of systems pays per matrix)
         t0 = time.perf_counter()
-        Mamg = AMGPreconditioner.from_scipy(lap0, dtype=np.float32)
+        Mamg = AMGPreconditioner.from_scipy(
+            lap0, dtype=np.float32, fine_operator=Ap0
+        )
         extras["amg_setup_s"] = round(time.perf_counter() - t0, 2)
         extras["amg_levels"] = list(Mamg.level_sizes)
-        Ap0 = PETOperator.from_scipy(lap0, with_rmatvec=False)
         time_solve("cg_amg", cg_generic, Ap0, Mamg, 60)
         # single-level comparison point on the same system
         Mj0 = DiagonalOperator(

@@ -148,13 +148,20 @@ def _aggregate(A, theta):
     l1, n1 = _pairwise_labels(A, theta)
     # A1 = Q1^T A Q1 with Q1 the tentative (one unit nonzero per row)
     # aggregation operator is a pure relabel-and-sum of A's entries:
-    # A1[l1[i], l1[j]] += A[i, j].  One coo->csr pass (duplicate
-    # summation in C) replaces two generic spgemms.
-    C = A.tocoo()
-    A1 = scipy.sparse.csr_matrix(
-        (C.data, (l1[C.row], l1[C.col])), shape=(n1, n1)
-    )
-    A1.sort_indices()  # canonical for both matching paths
+    # A1[l1[i], l1[j]] += A[i, j] — exactly the native RAP with no
+    # prolongator smoothing; one coo->csr pass (duplicate summation in
+    # C) is the fallback/ground truth.
+    A1 = None
+    if A.has_sorted_indices and not np.iscomplexobj(A.data):
+        from .ops import _native
+
+        A1 = _native.amg_rap_native(A, l1, n1, None)
+    if A1 is None:
+        C = A.tocoo()
+        A1 = scipy.sparse.csr_matrix(
+            (C.data, (l1[C.row], l1[C.col])), shape=(n1, n1)
+        )
+        A1.sort_indices()  # canonical for both matching paths
     l2, n2 = _pairwise_labels(A1, theta)
     labels = l2[l1]
     first_pos = np.sort(np.unique(labels, return_index=True)[1])
@@ -213,24 +220,42 @@ def _lmax_estimate(Al, lmax_method):
 
 
 def _smoothed_prolongator(Al, theta, smooth_prolongator,
-                          lmax_method="power"):
+                          lmax_method="power", need_P=True):
     """One coarsening step: aggregate, build the tentative piecewise-
     constant prolongator ``P_hat``, optionally smooth it (classic SA,
     ``P = (I - w D^-1 A) P_hat`` computed as a row-scaled ``A @ P_hat``
     so the scaled matrix is never materialized), and return
     ``(P, A_coarse, lmax, labels, n_agg)`` — or ``None`` when
-    coarsening stalls."""
+    coarsening stalls.
+
+    ``need_P=False`` (the single-device hierarchy, which applies the SA
+    transfer implicitly from ``P_hat`` + labels) routes the Galerkin
+    triple product through the native marker-accumulator pass
+    (``csrc/amg_rap.cpp``, ~6x scipy's three spgemms at 1M rows) and
+    returns ``P=None``; this scipy path is its fallback and ground
+    truth (tests/test_native_ab.py)."""
     import scipy.sparse
 
     labels, n_agg = _aggregate(Al, theta)
     if n_agg >= 0.9 * Al.shape[0]:
         return None  # coarsening stalled (e.g. diagonal matrix)
+    lmax = _lmax_estimate(Al, lmax_method)
+    if not need_P and Al.has_sorted_indices:
+        from .ops import _native
+
+        scale = None
+        if smooth_prolongator:
+            d = Al.diagonal()
+            d = np.where(d != 0, d, 1.0)
+            scale = (4.0 / (3.0 * lmax)) / np.real(d)
+        Ac = _native.amg_rap_native(Al, labels, n_agg, scale)
+        if Ac is not None:
+            return None, Ac, lmax, labels, n_agg
     P = scipy.sparse.csr_matrix(
         (np.ones(Al.shape[0], Al.dtype),
          (np.arange(Al.shape[0]), labels)),
         shape=(Al.shape[0], n_agg),
     )
-    lmax = _lmax_estimate(Al, lmax_method)
     if smooth_prolongator:
         # w = 4/(3 lmax): the classic SA prolongator smoother
         AP = (Al @ P).tocsr()
@@ -326,7 +351,7 @@ class AMGPreconditioner:
     def from_scipy(cls, A, *, theta=0.08, smooth=2, omega=2.0 / 3.0,
                    coarse_size=400, max_levels=12, dtype=None,
                    smooth_prolongator=True, smoother="jacobi",
-                   lmax_method="power"):
+                   lmax_method="power", fine_operator=None):
         """Build the hierarchy from a scipy sparse (or dense) SPD matrix.
 
         * ``theta`` — strength threshold on the normalized coupling
@@ -353,6 +378,16 @@ class AMGPreconditioner:
           SA weight) or ``"gershgorin"`` (one O(nnz) pass, always a
           safe overestimate — cheaper, typically 1-2 more outer
           iterations).
+        * ``fine_operator`` — reuse an existing device operator of the
+          SAME matrix as level 0 of the cycle (e.g. the ``PETOperator``
+          /``as_operator(A)`` the solve itself applies).  The fine
+          level is the largest operator in the hierarchy; reusing it
+          halves fine-level device memory and removes the dominant
+          kernel build + host->device transfer from the setup — the
+          same sharing the distributed route gets for free
+          (``M_partition`` preconditioners wrap the solve's own sharded
+          operator).  The caller is responsible for it applying the
+          matrix ``A``.
         """
         import scipy.sparse
 
@@ -378,7 +413,7 @@ class AMGPreconditioner:
         ):
             step = _smoothed_prolongator(
                 levels[-1], theta, smooth_prolongator,
-                lmax_method=lmax_method,
+                lmax_method=lmax_method, need_P=False,
             )
             if step is None:
                 break  # coarsening stalled (e.g. diagonal matrix)
@@ -406,12 +441,17 @@ class AMGPreconditioner:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=4) as ex:
-            ops_f = [ex.submit(_device_sparse, m) for m in levels[:-1]]
+            build_levels = levels[:-1]
+            if fine_operator is not None and build_levels:
+                build_levels = build_levels[1:]
+            ops_f = [ex.submit(_device_sparse, m) for m in build_levels]
             ph_f = [
                 ex.submit(_device_sparse, p, prefer_pet_rect=True)
                 for p in phat_sps
             ]
             ops = [f.result() for f in ops_f]
+            if fine_operator is not None and levels[:-1]:
+                ops = [fine_operator] + ops
             phats = [f.result() for f in ph_f]
         dinvs = []
         for m in levels[:-1]:

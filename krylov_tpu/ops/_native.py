@@ -265,6 +265,131 @@ def amg_pairwise_labels_native(csr, theta, rounds=8):
     return labels, int(n_agg)
 
 
+# ---- amg_rap.cpp: smoothed-aggregation Galerkin triple product ------------
+
+_rap_lib = None
+_rap_tried = False
+
+_RAP_ALLOC_FN = ctypes.CFUNCTYPE(
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32
+)
+
+
+def _load_rap():
+    global _rap_lib, _rap_tried
+    if _rap_tried:
+        return _rap_lib
+    _rap_tried = True
+    if os.environ.get("KRYLOV_TPU_NO_NATIVE"):
+        return None
+    try:
+        src = os.path.join(_CSRC, "amg_rap.cpp")
+        with open(src, "rb") as f:
+            blob = f.read()
+        import hashlib
+
+        tag = hashlib.sha256(blob).hexdigest()[:16]
+        so = os.path.join(_cache_dir(), f"_amg_rap_{tag}.so")
+        if not os.path.exists(so):
+            with tempfile.TemporaryDirectory() as td:
+                tmp = os.path.join(td, "amg_rap.so")
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                     "-o", tmp],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        lib.amg_rap.restype = ctypes.c_int64
+        lib.amg_rap.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), _RAP_ALLOC_FN,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _rap_lib = lib
+    except Exception as e:  # no compiler / sandboxed fs / bad cache
+        sys.stderr.write(f"krylov_tpu: native amg_rap unavailable ({e!r}); "
+                         "using the scipy Galerkin path\n")
+        _rap_lib = None
+    return _rap_lib
+
+
+def amg_rap_native(csr, labels, n_agg, scale=None):
+    """Native Galerkin triple product ``P^H A P`` with the SA prolongator
+    ``P = P_hat - diag(scale) (A P_hat)`` (``scale=None``: the tentative
+    ``P_hat`` itself — plain aggregation / relabel-and-sum).
+
+    ``csr`` must be canonical real f32/f64 CSR.  Returns the coarse
+    matrix as a scipy CSR in ``csr.dtype`` with sorted indices, or None
+    when the native path is unavailable (complex dtypes fall back to the
+    scipy ground-truth path in ``amg._smoothed_prolongator``)."""
+    import numpy as np
+
+    lib = _load_rap()
+    if lib is None:
+        return None
+    if csr.dtype == np.float32:
+        data_kind = 0
+    elif csr.dtype == np.float64:
+        data_kind = 1
+    else:
+        return None
+    n = csr.shape[0]
+    if csr.indptr.dtype == np.int32 and csr.indices.dtype == np.int32:
+        idx_kind = 0
+        indptr = np.ascontiguousarray(csr.indptr)
+        indices = np.ascontiguousarray(csr.indices)
+    else:
+        idx_kind = 1
+        indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(csr.indices, dtype=np.int64)
+    data = np.ascontiguousarray(csr.data)
+    labels64 = np.ascontiguousarray(labels, dtype=np.int64)
+    scale64 = (
+        None if scale is None
+        else np.ascontiguousarray(scale, dtype=np.float64)
+    )
+
+    bufs = {}
+
+    @_RAP_ALLOC_FN
+    def _alloc(nbytes, which):
+        a = np.zeros(int(nbytes), np.uint8)
+        bufs[int(which)] = a
+        return a.ctypes.data
+
+    nnz_c = ctypes.c_int64()
+    rc = lib.amg_rap(
+        n,
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        idx_kind,
+        data.ctypes.data_as(ctypes.c_void_p),
+        data_kind,
+        labels64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(n_agg),
+        (None if scale64 is None
+         else scale64.ctypes.data_as(ctypes.POINTER(ctypes.c_double))),
+        _alloc,
+        ctypes.byref(nnz_c),
+    )
+    if rc != 0:
+        return None
+    import scipy.sparse
+
+    nnz = int(nnz_c.value)
+    Ac = scipy.sparse.csr_matrix(
+        (bufs[2].view(np.float64)[:nnz].astype(csr.dtype),
+         bufs[1].view(np.int32)[:nnz],
+         bufs[0].view(np.int64)),
+        shape=(int(n_agg), int(n_agg)),
+    )
+    Ac.has_sorted_indices = True  # rows emitted sorted by the kernel
+    return Ac
+
+
 # ---- ilu0.cpp: incomplete-LU setup helpers --------------------------------
 
 _ilu_lib = None

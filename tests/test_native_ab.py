@@ -28,6 +28,8 @@ def _reset_native_state():
     _native._ilu_lib = None
     _native._agg_tried = False
     _native._agg_lib = None
+    _native._rap_tried = False
+    _native._rap_lib = None
 
 
 @pytest.fixture
@@ -150,3 +152,65 @@ def test_amg_full_setup_native_off_equivalent(numpy_only):
     _reset_native_state()
     M2 = amgmod.AMGPreconditioner.from_scipy(A)
     assert M2.level_sizes == sizes_off
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_amg_rap_native_matches_scipy(dtype):
+    """csrc/amg_rap.cpp (marker-accumulator Galerkin P^H A P) vs the
+    scipy triple product: identical sparsity pattern, values at the
+    dtype's precision (double accumulation vs scipy's same-dtype
+    csr_matmat order), for both the smoothed-SA and the tentative
+    (relabel-sum) prolongator."""
+    for name, A in _test_matrices().items():
+        Al = A.astype(dtype).tocsr()
+        Al.sort_indices()
+        labels, n_agg = amgmod._aggregate(Al, 0.08)
+        lmax = amgmod._lmax_estimate(Al, "power")
+        d = Al.diagonal()
+        d = np.where(d != 0, d, 1.0)
+        scale = (4.0 / (3.0 * lmax)) / d
+        got = _native.amg_rap_native(Al, labels, n_agg, scale)
+        if got is None:
+            pytest.skip("native amg_rap unavailable on this host")
+        # scipy ground truth (the need_P=True route of
+        # amg._smoothed_prolongator)
+        P = scipy.sparse.csr_matrix(
+            (np.ones(Al.shape[0], dtype),
+             (np.arange(Al.shape[0]), labels)),
+            shape=(Al.shape[0], n_agg),
+        )
+        AP = (Al @ P).tocsr()
+        AP.data *= np.repeat(scale.astype(dtype), np.diff(AP.indptr))
+        P2 = (P - AP).tocsr()
+        ref = (P2.T @ Al @ P2).tocsr()
+        ref.sort_indices()
+        rtol = 1e-5 if dtype == np.float32 else 1e-13
+        np.testing.assert_array_equal(got.indptr, ref.indptr, err_msg=name)
+        np.testing.assert_array_equal(got.indices, ref.indices,
+                                      err_msg=name)
+        np.testing.assert_allclose(
+            got.data, ref.data, rtol=rtol,
+            atol=rtol * abs(ref.data).max(), err_msg=name,
+        )
+        assert got.dtype == dtype
+        # tentative (scale=None): pure relabel-and-sum, exact equality
+        got0 = _native.amg_rap_native(Al, labels, n_agg, None)
+        C = Al.tocoo()
+        ref0 = scipy.sparse.csr_matrix(
+            (C.data, (labels[C.row], labels[C.col])), shape=(n_agg, n_agg)
+        )
+        ref0.sort_indices()
+        assert abs(got0 - ref0).max() == 0.0
+
+
+def test_amg_rap_complex_takes_scipy_route():
+    """The RAP kernel is real-only; complex hierarchies must bypass it
+    (amg_rap_native returns None) and the full setup still builds."""
+    rng = np.random.default_rng(5)
+    n = 128
+    C = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = scipy.sparse.csr_matrix(np.eye(n) * 12.0 + 0.5 * (C + C.conj().T))
+    H.sort_indices()
+    assert _native.amg_rap_native(H, np.zeros(n, np.int64), 1, None) is None
+    M = amgmod.AMGPreconditioner.from_scipy(H, coarse_size=16)
+    assert M.n_levels >= 1
