@@ -287,6 +287,21 @@ def main():
         extras["csr_pet_cwp"] = pet.get("cwp", 32)
         extras["csr_pet_stream_gbps"] = round(slot_bytes / dtp / 1e9, 2)
 
+        # bf16 value stream (3 bytes/slot-lane vs 5): the low-precision
+        # kernel mode — bf16 operator data collapses BOTH exact-selection
+        # matmuls (page table + output routing) from 3-way Dekker stacks
+        # to ONE unsplit bf16 pass each (design.md's stacked-selection
+        # ladder endpoint; pairs with solvers.refine for f32-accurate
+        # answers at bf16 streaming cost)
+        pet16 = build_pet(sp_csr, data_dtype=jnp.bfloat16)
+        dtp16 = time_pet_mv(pet16)
+        slot16 = pet16["nchunks"] * 128 * pet16["lc"] * 3
+        extras["csr_pet_bf16_spmv_us"] = round(dtp16 * 1e6, 2)
+        extras["csr_pet_bf16_nnz_per_s"] = round(pet_nnz / dtp16, 1)
+        extras["csr_pet_bf16_stream_gbps"] = round(slot16 / dtp16 / 1e9, 2)
+        extras["csr_pet_bf16_speedup"] = round(dtp / dtp16, 2)
+        del pet16
+
         # multi-RHS (SpMM) through the same PET: the index/metadata stream
         # is amortized over k=8 columns (column-in-lane-major x layout, one
         # wide MXU contraction shared by all columns)

@@ -439,6 +439,13 @@ def _select_dot(oh, x, transpose_lhs=False):
         (((0,), (0,)), ((), ())) if transpose_lhs
         else (((1,), (0,)), ((), ()))
     )
+    if x.dtype == jnp.bfloat16:
+        # bf16 operand: already exactly representable — ONE unsplit pass
+        # (the data_dtype=bfloat16 kernel mode)
+        return lax.dot_general(
+            oh16, x, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
     s1 = x.astype(jnp.bfloat16)
     r1 = x - s1.astype(jnp.float32)
     s2 = r1.astype(jnp.bfloat16)
@@ -468,11 +475,18 @@ def _select_tab_stacked(oh_lanes, x):
     ~2.6x less tab time, same bits (each product selects exactly one
     split term; s1+s2+s3 reconstructs the f32 value exactly in any
     association, zero terms contribute nothing)."""
+    oh16 = oh_lanes.astype(jnp.bfloat16)
+    if x.dtype == jnp.bfloat16:
+        # bf16 window: exact as-is — the 192-deep stack collapses to ONE
+        # 2*CWP-deep pass (the data_dtype=bfloat16 kernel mode)
+        return lax.dot_general(
+            oh16, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     s1 = x.astype(jnp.bfloat16)
     r1 = x - s1.astype(jnp.float32)
     s2 = r1.astype(jnp.bfloat16)
     s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
-    oh16 = oh_lanes.astype(jnp.bfloat16)
     lhs = jnp.concatenate([oh16, oh16, oh16], axis=0)   # (3*2CWP, LC)
     rhs = jnp.concatenate([s1, s2, s3], axis=0)         # (3*2CWP, W)
     return lax.dot_general(
@@ -493,6 +507,14 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc,
     xs0 = xw_ref[pl.ds(cb0, cwp), :]                        # (cwp, 128)
     xs1 = xw_ref[pl.ds(cb1, cwp), :]
     xs = jnp.concatenate([xs0, xs1], axis=0)                # (2*cwp, 128)
+    # bf16 operator data opts the whole kernel into low precision: the
+    # products carry bf16-level error regardless, so the page-selection
+    # table and the output routing each run as ONE unsplit bf16 pass
+    # instead of the 3-way Dekker stack (pairs with solvers.refine for
+    # f32-accurate answers at bf16 streaming cost)
+    lowp = dat_ref.dtype == jnp.bfloat16
+    if lowp:
+        xs = xs.astype(jnp.bfloat16)
 
     # All one-hots are built LANE-MAJOR straight from the metadata rows (no
     # transpose: Mosaic relayouts of small int tiles cost ~15% of the whole
@@ -518,8 +540,12 @@ def _pet_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref, *, lc,
     lcol = ent_ref[:, :].astype(jnp.int32)                  # (LC, 128)
     vals = jnp.take_along_axis(tab, lcol, axis=1)           # (LC, 128)
     contrib = dat_ref[:, :].astype(vals.dtype) * vals
+    if lowp:
+        contrib = contrib.astype(jnp.bfloat16)  # single-pass routing
 
-    o_ref[:, :] += _select_dot(onehot_s.astype(contrib.dtype), contrib)
+    o_ref[:, :] += _select_dot(
+        onehot_s.astype(jnp.float32 if lowp else contrib.dtype), contrib
+    )
 
 
 @functools.partial(
@@ -583,6 +609,9 @@ def _pet_spmm_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref,
     xs0 = xw_ref[pl.ds(cb0, cwp), :]                    # (cwp, k*128)
     xs1 = xw_ref[pl.ds(cb1, cwp), :]
     xs = jnp.concatenate([xs0, xs1], axis=0)            # (2*cwp, k*128)
+    lowp = dat_ref.dtype == jnp.bfloat16  # see _pet_kernel
+    if lowp:
+        xs = xs.astype(jnp.bfloat16)
 
     iota_q = lax.broadcasted_iota(jnp.int32, (2 * cwp, 128), 0)
     iota_s = lax.broadcasted_iota(jnp.int32, (GS, 128), 0)
@@ -612,9 +641,11 @@ def _pet_spmm_kernel(meta_ref, mv_ref, ent_ref, dat_ref, xw_ref, o_ref,
         )
         contrib_cols.append(dat.astype(vals.dtype) * vals)
     contrib = jnp.concatenate(contrib_cols, axis=1)     # (LC, k*128)
+    if lowp:
+        contrib = contrib.astype(jnp.bfloat16)  # single-pass routing
 
     o_ref[:, :] += _select_dot(
-        onehot_s.astype(contrib.dtype), contrib
+        onehot_s.astype(jnp.float32 if lowp else contrib.dtype), contrib
     )                                                   # (GS, k*128)
 
 

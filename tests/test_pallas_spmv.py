@@ -454,3 +454,20 @@ def test_reorder_rejects_rectangular_up_front():
     for spec in ("rcm", "auto"):
         with pytest.raises(ValueError, match="square matrix"):
             PETOperator.from_scipy(sp, interpret=True, reorder=spec)
+
+
+def test_pet_bf16_data_spmm():
+    """The bf16 (low-precision) mode through the multi-RHS kernel: one
+    unsplit selection pass + one unsplit routing pass per chunk (the
+    data_dtype=bfloat16 kernel mode measured by bench.py's
+    csr_pet_bf16_* metrics)."""
+    sp = scipy.sparse.random(400, 400, density=0.03, random_state=3,
+                             format="csr").astype(np.float32)
+    A16 = PETOperator.from_scipy(sp, interpret=True,
+                                 data_dtype=jnp.bfloat16,
+                                 with_rmatvec=False)
+    X = RNG.standard_normal((400, 4)).astype(np.float32)
+    Y = np.asarray(A16 @ jnp.asarray(X))
+    want = sp @ X
+    rel = np.max(np.abs(Y - want)) / (1 + np.max(np.abs(want)))
+    assert rel < 2e-2
