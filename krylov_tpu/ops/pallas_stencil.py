@@ -27,12 +27,36 @@ row-halo reads outside the domain are explicit zeros.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_vmem_budget():
+    """Soft VMEM budget (bytes) for the fused-CG phase kernels.
+
+    v5e has 128 MB of VMEM but Mosaic's default scoped limit is 16 MB;
+    budgets above 13 MB make the kernels pass an explicit
+    ``vmem_limit_bytes``.  The variable-coefficient phase A holds 11
+    tm-row planes per block, so the budget sets the block height at
+    ny=4096: 13 MB -> tm=32 (DMA-latency-bound, measured 644 GB/s),
+    26 MB -> tm=64 (689 GB/s, the sweep's optimum), 52 MB -> tm=128
+    (464 GB/s — too-deep blocks starve the pipeline).  Default 26;
+    ``KRYLOV_TPU_FUSED_VMEM_MB`` overrides (read at trace time).
+    """
+    return int(os.environ.get("KRYLOV_TPU_FUSED_VMEM_MB", "26")) * 1024 * 1024
+
+
+def _fused_compiler_params(budget):
+    if budget <= 13 * 1024 * 1024:
+        return None  # Mosaic default limit suffices
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(2 * budget + (8 << 20), 120 << 20)
+    )
 
 
 def _pick_tm(M, rows_per_block, halo_rows, bytes_per_row, min_tm=8,
@@ -487,10 +511,11 @@ def cg_fused_phase_a_var(omega, r, p, coeffs, row_offsets, col_offsets,
     ndiag = coeffs.shape[0]
     h = max((max(0, -min(row_offsets)), max(0, max(row_offsets)), 1))
 
+    budget = _fused_vmem_budget()
     bpr = ny * r.dtype.itemsize
     # c planes + r, p, p_new, Ap blocks + 4 halo planes + p_ext intermediate
     tm = _pick_tm(M, ndiag + 6, 6 * h, bpr, min_tm=h,
-                  budget=13 * 1024 * 1024)
+                  budget=budget)
     nb = M // tm
 
     rt, rb = _halo_planes(r, nb, tm, h)
@@ -531,6 +556,7 @@ def cg_fused_phase_a_var(omega, r, p, coeffs, row_offsets, col_offsets,
         # pn reuses p's buffer (p is dead after this phase; halo reads come
         # from the plane arrays) — fresh outputs halve the HBM rate
         input_output_aliases={3: 0},
+        compiler_params=_fused_compiler_params(budget),
     )(om, coeffs, r, p, rt, rb, pt, pb)
     return pn, ap, jnp.sum(pap)
 
@@ -585,10 +611,11 @@ def cg_fused_phase_a_var_jac(omega, r, p, coeffs, dinv, row_offsets,
     ndiag = coeffs.shape[0]
     h = max((max(0, -min(row_offsets)), max(0, max(row_offsets)), 1))
 
+    budget = _fused_vmem_budget()
     bpr = ny * r.dtype.itemsize
     # c + dinv planes + r, p, p_new, Ap blocks + 6 halo planes + p_ext
     tm = _pick_tm(M, ndiag + 7, 8 * h, bpr, min_tm=h,
-                  budget=13 * 1024 * 1024)
+                  budget=budget)
     nb = M // tm
 
     rt, rb = _halo_planes(r, nb, tm, h)
@@ -628,6 +655,7 @@ def cg_fused_phase_a_var_jac(omega, r, p, coeffs, dinv, row_offsets,
         ),
         # pn reuses p's buffer (input 4: om, coeffs, dinv, r, p)
         input_output_aliases={4: 0},
+        compiler_params=_fused_compiler_params(budget),
     )(om, coeffs, dinv, r, p, rt, rb, pt, pb, dt, db)
     return pn, ap, jnp.sum(pap)
 
@@ -655,7 +683,8 @@ def _cg_b_jac_kernel(al_ref, d_ref, y_ref, r_ref, p_ref, ap_ref,
 def cg_fused_phase_b_jac(alpha, y, r, p, ap, dinv):
     """Returns (y_new, r_new, rho_new) with ``rho = <r_new, dinv r_new>``."""
     M, ny = r.shape
-    tm = _pick_tm(M, 7, 0, ny * r.dtype.itemsize, budget=13 * 1024 * 1024)
+    budget = _fused_vmem_budget()
+    tm = _pick_tm(M, 7, 0, ny * r.dtype.itemsize, budget=budget)
     nb = M // tm
     al = jnp.asarray(alpha, r.dtype).reshape(1, 1)
     blk = pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -680,6 +709,7 @@ def cg_fused_phase_b_jac(alpha, y, r, p, ap, dinv):
         ),
         # inputs: al, dinv, y, r, p, ap — yn and rn update y/r in place
         input_output_aliases={2: 0, 3: 1},
+        compiler_params=_fused_compiler_params(budget),
     )(al, dinv, y, r, p, ap)
     return yn, rn, jnp.sum(rho)
 
@@ -700,9 +730,10 @@ def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
     row_offsets = tuple(b[0] for b in bands)
     h = max((max(0, -min(row_offsets)), max(0, max(row_offsets)), 1))
 
+    budget = _fused_vmem_budget()
     bpr = ny * r.dtype.itemsize
     # r, p, p_new, Ap blocks + 4 halo planes + the p_ext intermediate
-    tm = _pick_tm(M, 6, 6 * h, bpr, min_tm=h, budget=13 * 1024 * 1024)
+    tm = _pick_tm(M, 6, 6 * h, bpr, min_tm=h, budget=budget)
     nb = M // tm
 
     rt, rb = _halo_planes(r, nb, tm, h)
@@ -737,6 +768,7 @@ def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
         # pn reuses p's buffer (p is dead after this phase; halo reads come
         # from the plane arrays) — fresh outputs halve the HBM rate
         input_output_aliases={2: 0},
+        compiler_params=_fused_compiler_params(budget),
     )(om, r, p, rt, rb, pt, pb)
     return pn, ap, jnp.sum(pap)
 
@@ -745,7 +777,8 @@ def cg_fused_phase_a(omega, r, p, bands, block_rows=None):
 def cg_fused_phase_b(alpha, y, r, p, ap):
     """Returns (y_new, r_new, rho_new) in one pass."""
     M, ny = r.shape
-    tm = _pick_tm(M, 6, 0, ny * r.dtype.itemsize, budget=13 * 1024 * 1024)
+    budget = _fused_vmem_budget()
+    tm = _pick_tm(M, 6, 0, ny * r.dtype.itemsize, budget=budget)
     nb = M // tm
     al = jnp.asarray(alpha, r.dtype).reshape(1, 1)
 
@@ -773,5 +806,6 @@ def cg_fused_phase_b(alpha, y, r, p, ap):
         ),
         # pure blockwise elementwise phase: yn and rn update in place
         input_output_aliases={1: 0, 2: 1},
+        compiler_params=_fused_compiler_params(budget),
     )(al, y, r, p, ap)
     return yn, rn, jnp.sum(rho)
