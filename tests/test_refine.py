@@ -65,3 +65,35 @@ def test_refine_accepts_backend_kwarg():
         backend="eager",
     )
     assert info.success
+
+
+def test_refine_with_bf16_pet_inner_operator():
+    """The intended production pairing: f32 residuals against the exact
+    operator, inner solves through the bf16 PET kernel mode (3-byte
+    value stream, single-pass selection/routing — see
+    test_pallas_spmv.py::test_pet_bf16_data_stream); the defect
+    correction recovers f32-level accuracy."""
+    import scipy.sparse
+
+    from krylov_tpu.ops.pallas_spmv import PETOperator
+    from krylov_tpu.ops.sparse import CSROperator
+
+    n_side = 40
+    n = n_side * n_side
+    sp = scipy.sparse.diags(
+        [-1.0, -1.0, 4.5, -1.0, -1.0], [-n_side, -1, 0, 1, n_side],
+        shape=(n, n), format="csr",
+    ).astype(np.float32)
+    A = CSROperator.from_scipy(sp)
+    A16 = PETOperator.from_scipy(
+        sp, interpret=True, data_dtype=jnp.bfloat16, with_rmatvec=False
+    )
+    b = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    sol, info = krylov_tpu.refine(
+        A, b, A_low=A16, inner_tol=1e-2, inner_maxiter=100,
+        tol=1e-5, maxiter=20, backend="while_loop",
+    )
+    assert info.success
+    assert info.numsteps <= 6  # bf16 inner still contracts fast
+    r = b - sp @ np.asarray(info.xk)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-5
