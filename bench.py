@@ -463,36 +463,44 @@ def main():
         # is the honest quantity (and what time-to-tolerance at scale is
         # made of); the fixed-cost totals at maxiter=100 are still
         # reported for continuity.
-        def solve_var_iters(fused, A_, b_, mi):
-            # A enters as a pytree ARGUMENT: closing over it would embed
-            # the 335 MB coefficient stack as an HLO constant (too large
-            # for the remote-compile tunnel, and a bad program anyway)
-            @partial(jax.jit, static_argnums=(2, 3))
-            def solve_v(A__, b__, fused_, mi_):
-                _, info = cg_stencil(
-                    A__, b__, tol=0.0, atol=0.0, maxiter=mi_, fused=fused_
-                )
-                return info.resnorms
+        #
+        # Two mechanics matter for honest numbers:
+        #   * A enters as a pytree ARGUMENT (closing over it would embed
+        #     the 335 MB coefficient stack as an HLO constant — too large
+        #     for the remote-compile tunnel, and a bad program anyway),
+        #     and is device_put ONCE: numpy leaves would otherwise
+        #     re-upload 335 MB host->device on every call (~1.4 s/call
+        #     through the tunnel, swamping the totals).
+        #   * the jitted wrapper is defined ONCE at this scope, so jax's
+        #     trace cache is reused across the slope sweep instead of
+        #     re-tracing/lowering per call.
+        A_dev = jax.device_put(A)
+        jax.block_until_ready(A_dev.coeffs2d)
 
-            return solve_v(A_, b_, fused, int(mi))
+        @partial(jax.jit, static_argnums=(2, 3))
+        def solve_var(A__, b__, fused_, mi_):
+            _, info = cg_stencil(
+                A__, b__, tol=0.0, atol=0.0, maxiter=mi_, fused=fused_
+            )
+            return info.resnorms
 
         var_f_iter = timed(
-            lambda b_, K: solve_var_iters(True, A, b_, K), (b,), 40, 280, 3
+            lambda b_, K: solve_var(A_dev, b_, True, int(K)), (b,), 40, 280, 3
         )
         var_u_iter = timed(
-            lambda b_, K: solve_var_iters(False, A, b_, K), (b,), 40, 280, 3
+            lambda b_, K: solve_var(A_dev, b_, False, int(K)), (b,), 40, 280, 3
         )
         extras["cg_var_fused_iter_us"] = round(var_f_iter * 1e6, 2)
         extras["cg_var_unfused_iter_us"] = round(var_u_iter * 1e6, 2)
         extras["cg100_var_fused_speedup"] = round(var_u_iter / var_f_iter, 2)
 
         def total_var(fused):
-            r = solve_var_iters(fused, A, b, 100)
+            r = solve_var(A_dev, b, fused, 100)
             float(jnp.sum(r))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                r = solve_var_iters(fused, A, b, 100)
+                r = solve_var(A_dev, b, fused, 100)
                 float(jnp.sum(r))
                 best = min(best, time.perf_counter() - t0)
             return best

@@ -176,6 +176,19 @@ def _run_eager(state, method: Method, *, tol, atol, maxiter, callback):
 
 def _run_while(state0, method: Method, *, tol, atol, maxiter,
                callback=None):
+    # NESTED loop structure, for TPU in-place buffer aliasing: the INNER
+    # ``lax.while_loop`` body is nothing but ``step`` + a scalar history
+    # write — no ``lax.cond`` ever touches the solver state, so XLA
+    # aliases the state's large buffers in place across iterations.  A
+    # single body-level ``lax.cond`` around the step (the previous
+    # structure) gave every large array a second consumer and cost a
+    # measured ~320 us/iter in buffer copies at 16.7M rows (~27% of the
+    # fused stencil-CG iteration).  The OUTER loop runs once per
+    # convergence EVENT (recurrence residual dips below the criterion,
+    # early success, maxiter): it performs the explicit-residual
+    # double-check — its ``lax.cond`` executes O(1) times per solve, not
+    # per iteration.  Semantics (trajectories, history overwrites,
+    # numsteps, callback counts) are identical to the flat loop.
     monitor = callback if isinstance(callback, ShardMonitor) else None
     resnorm0 = state0.resnorm
     rdtype = jnp.asarray(resnorm0).dtype
@@ -184,11 +197,75 @@ def _run_while(state0, method: Method, *, tol, atol, maxiter,
     has_early = hasattr(state0, "early_success")
     if monitor is not None:
         monitor.fire(jnp.asarray(0, jnp.int32), resnorm0)
+    mi = jnp.asarray(maxiter, jnp.int32)
 
-    def body(carry):
+    def inner_cond(carry):
+        return ~carry[3]
+
+    def inner_body(carry):
+        s, k, buf, stop = carry
+        s2 = method.step(s, criterion)
+        if monitor is not None:
+            # (k+1, global resnorm) from the rank-0 shard only; an
+            # early-success exit overwrites entry k without advancing
+            # the count, so it fires no call — same skip as the
+            # callback path below, keeping the numsteps+1 total
+            def _mfire(a):
+                k_, rn_ = a
+                monitor.fire(k_ + 1, rn_)
+                return jnp.int32(0)
+
+            marg = (k, jnp.asarray(s2.resnorm).astype(rdtype))
+            if has_early:
+                lax.cond(
+                    s2.early_success,
+                    lambda a: jnp.int32(0), _mfire, marg,
+                )
+            else:
+                _mfire(marg)
+        elif callback is not None and method.callback_args is not None:
+            # per-iteration user callback from inside the compiled
+            # loop (SURVEY §5; reference contract: called once per
+            # iteration, reference: src/krylov/cg.py:202-204).  The
+            # values arrive on host as numpy arrays; an early-success
+            # exit skips the call, matching the eager driver's
+            # break-before-callback ordering.
+            cb_args = method.callback_args(s2)
+
+            def _fire(a):
+                jax.debug.callback(callback, *a, ordered=True)
+                return 0
+
+            if has_early:
+                lax.cond(
+                    s2.early_success, lambda a: 0, _fire, cb_args
+                )
+            else:
+                _fire(cb_args)
+        rn = jnp.asarray(s2.resnorm).astype(rdtype)
+        if has_early:
+            # mid-iteration exit overwrites the last entry, no append
+            early = s2.early_success
+            write_at = jnp.where(early, k, k + 1)
+            k2 = write_at
+        else:
+            early = jnp.asarray(False)
+            write_at = k + 1
+            k2 = write_at
+        buf2 = lax.dynamic_update_index_in_dim(buf, rn, write_at, 0)
+        below = jnp.all(rn <= criterion)
+        return s2, k2, buf2, early | below | (k2 >= mi)
+
+    def outer_cond(carry):
+        return ~carry[3]
+
+    def outer_body(carry):
         s, k, buf, done, success = carry
+        early_prev = s.early_success if has_early else jnp.asarray(False)
         last = lax.dynamic_index_in_dim(buf, k, 0, keepdims=False)
-        below = jnp.all(last <= criterion)
+        # an early-success exit declares success WITHOUT the explicit
+        # recheck (the mid-iteration exit already recomputed its value)
+        below = jnp.all(last <= criterion) & ~early_prev
 
         if method.explicit_resnorm is not None:
 
@@ -205,75 +282,14 @@ def _run_while(state0, method: Method, *, tol, atol, maxiter,
         else:
             ok = below
 
-        done_now = ok | (k >= maxiter)
-
-        def _step(args):
-            s, k, buf = args
-            s2 = method.step(s, criterion)
-            if monitor is not None:
-                # (k+1, global resnorm) from the rank-0 shard only; an
-                # early-success exit overwrites entry k without advancing
-                # the count, so it fires no call — same skip as the
-                # callback path below, keeping the numsteps+1 total
-                def _mfire(a):
-                    k_, rn_ = a
-                    monitor.fire(k_ + 1, rn_)
-                    return jnp.int32(0)
-
-                marg = (k, jnp.asarray(s2.resnorm).astype(rdtype))
-                if has_early:
-                    lax.cond(
-                        s2.early_success,
-                        lambda a: jnp.int32(0), _mfire, marg,
-                    )
-                else:
-                    _mfire(marg)
-            elif callback is not None and method.callback_args is not None:
-                # per-iteration user callback from inside the compiled
-                # loop (SURVEY §5; reference contract: called once per
-                # iteration, reference: src/krylov/cg.py:202-204).  The
-                # values arrive on host as numpy arrays; an early-success
-                # exit skips the call, matching the eager driver's
-                # break-before-callback ordering.
-                cb_args = method.callback_args(s2)
-
-                def _fire(a):
-                    jax.debug.callback(callback, *a, ordered=True)
-                    return 0
-
-                if has_early:
-                    lax.cond(
-                        s2.early_success, lambda a: 0, _fire, cb_args
-                    )
-                else:
-                    _fire(cb_args)
-            rn = jnp.asarray(s2.resnorm).astype(rdtype)
-            if has_early:
-                # mid-iteration exit overwrites the last entry, no append
-                write_at = jnp.where(s2.early_success, k, k + 1)
-                k2 = jnp.where(s2.early_success, k, k + 1)
-            else:
-                write_at = k + 1
-                k2 = k + 1
-            buf2 = lax.dynamic_update_index_in_dim(buf, rn, write_at, 0)
-            return s2, k2, buf2
-
-        def _nostep(args):
-            return args
-
-        s, k, buf = lax.cond(done_now, _nostep, _step, (s, k, buf))
-
-        if has_early:
-            early = s.early_success & ~done_now
-            success = ok | early
-            done = done_now | early
-        else:
-            success = ok
-            done = done_now
+        success = ok | early_prev
+        done = success | (k >= mi)
+        # a False ``done`` seeds the inner stop flag, so the inner loop
+        # runs steps exactly while unconverged; a True one skips it
+        s, k, buf, _ = lax.while_loop(
+            inner_cond, inner_body, (s, k, buf, done)
+        )
         return s, k, buf, done, success
-
-    def cond(carry):
-        return ~carry[3]
 
     carry0 = (
         state0,
@@ -282,7 +298,7 @@ def _run_while(state0, method: Method, *, tol, atol, maxiter,
         jnp.asarray(False),
         jnp.asarray(False),
     )
-    state, k, buf, _, success = lax.while_loop(cond, body, carry0)
+    state, k, buf, _, success = lax.while_loop(outer_cond, outer_body, carry0)
 
     if isinstance(k, jax.core.Tracer):
         # inside user jit: hand back the raw buffer + count

@@ -391,6 +391,24 @@ class AMGPreconditioner:
         """
         import scipy.sparse
 
+        # KRYLOV_TPU_AMG_PROFILE=1 prints a per-phase wall-time breakdown
+        # (coarsening / operator builds / device_put) to stderr — the
+        # device_put phase is tunnel-latency-bound on remote-TPU backends
+        # and invisible to host profilers.
+        import os as _os
+        import sys as _sys
+        import time as _time
+        _prof = _os.environ.get("KRYLOV_TPU_AMG_PROFILE") == "1"
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            nonlocal _t0
+            if _prof:
+                t1 = _time.perf_counter()
+                print(f"[amg-setup] {label}: {t1 - _t0:.3f}s",
+                      file=_sys.stderr, flush=True)
+                _t0 = t1
+
         if not scipy.sparse.issparse(A):
             A = scipy.sparse.csr_matrix(np.asarray(A))
         A = A.tocsr()
@@ -433,6 +451,7 @@ class AMGPreconditioner:
                 shape=(nf, int(n_agg)),
             ))
             levels.append(Ac)
+        _mark("coarsening (labels + Galerkin RAP)")
 
         # level + tentative-prolongator operators build concurrently:
         # the native PET builder releases the GIL for its C++ core, so a
@@ -453,6 +472,7 @@ class AMGPreconditioner:
             if fine_operator is not None and levels[:-1]:
                 ops = [fine_operator] + ops
             phats = [f.result() for f in ph_f]
+        _mark("host operator builds (PET/CSR pack)")
         dinvs = []
         for m in levels[:-1]:
             d = m.diagonal()
@@ -481,11 +501,16 @@ class AMGPreconditioner:
                    smoother=smoother, lmaxs=lmaxs[: len(ops)],
                    coarse_op=coarse_op, coarse_dinv=coarse_dinv,
                    p_w=p_ws)
+        _mark("coarse inverse + assembly")
         # the whole hierarchy (PET/CSR/BSR level arrays, label gathers,
         # Jacobi vectors, coarse inverse) was assembled on host; ONE
         # batched put moves it — per-array puts cost a full round-trip
         # each on remote-TPU backends (measured 14 s of a 60 s setup)
-        return jax.device_put(self)
+        out = jax.device_put(self)
+        if _prof:
+            jax.block_until_ready(jax.tree_util.tree_leaves(out))
+        _mark("device_put (hierarchy -> device)")
+        return out
 
     # -- observables ----------------------------------------------------
     @property
