@@ -47,18 +47,24 @@ def cg_stencil(
     on grid vectors.
 
     ``fused=True`` opts into the two-pass fused Pallas iteration.
-    Measured on v5e at 16.7M rows (K-delta, marginal per-iteration),
-    const-coefficient: 1137 us/iter = 1.06x of the 10N-word streaming
-    model at the 625 GB/s pipeline ceiling — i.e. at the fused path's
-    roofline — vs ~1500 us for the unfused composition of the SpMV
-    kernel with XLA vector ops (~15N words).  The variable-coefficient
-    variant streams the (ndiag, M, ny) plane stack through phase A
-    (~15N words/iter vs ~19N unfused); it also amortizes the per-call
-    halo-plane gather of the standalone SpMV over the whole phase (the
-    r/p planes are built by two strided slices and the p-update is
-    recomputed on the halo rows in-kernel).  The default remains unfused
-    for generality (general preconditioners, multi-RHS); ``bench.py``
-    uses ``fused=True``.
+    Measured on v5e at 16.7M rows (least-squares slope over maxiter,
+    marginal per-iteration), const-coefficient: 1137 us/iter = 1.06x of
+    the 10N-word streaming model at the 625 GB/s pipeline ceiling — i.e.
+    at the fused path's roofline — vs ~1500 us for the unfused
+    composition of the SpMV kernel with XLA vector ops.  The
+    variable-coefficient variant streams the (ndiag, M, ny) plane stack
+    through phase A; measured 1172 us/iter = the ~15N-word model at the
+    ~825 GB/s HBM ceiling, vs 1259 us unfused — a 1.07x marginal win,
+    NOT the naive 19N/15N = 1.27x: XLA fuses the unfused composition
+    (p-update into the matvec's operand stream, the axpy pair + rho
+    reduction into one pass) down to ~15.5N effective words, so the
+    fused kernels' remaining edge is the shared coefficient stream.
+    Both variants sit at their stream rooflines; the fused path also
+    amortizes the per-call halo-plane gather of the standalone SpMV over
+    the whole phase (the r/p planes are built by two strided slices and
+    the p-update is recomputed on the halo rows in-kernel).  The default
+    remains unfused for generality (general preconditioners, multi-RHS);
+    ``bench.py`` uses ``fused=True``.
 
     ``M="jacobi"`` (GridStencilOperator only) runs diagonally
     preconditioned CG with the same recurrence and resnorm convention as
@@ -115,7 +121,15 @@ def cg_stencil(
         return jnp.sum(r * r) if dinv2 is None else jnp.sum(r * (dinv2 * r))
 
     x02 = jnp.zeros_like(b2) if x0 is None else jnp.asarray(x0).reshape(Mg, ny)
-    r0 = b2 - (A @ x02)
+    # x0 = 0 short-circuit: r0 = b - A@0 == b BITWISE (the stencil sums
+    # c*0 = +0.0 exactly and b - 0.0 == b for every float including
+    # -0.0/inf/nan), so trajectories are unchanged.  Beyond skipping one
+    # matvec, this is a measured per-ITERATION win on TPU: a pallas
+    # matvec in the prologue whose output seeds the loop carry shifts
+    # XLA's buffer assignment for the whole while loop and cost ~300
+    # us/iter at 4096^2 (isolated A/B: identical loop bodies, prologue
+    # matvec present 1492 us/iter vs absent 1189).
+    r0 = b2 if x0 is None else b2 - (A @ x02)
     rho0 = mnorm2(r0)
     resnorm0 = jnp.sqrt(rho0)
 
