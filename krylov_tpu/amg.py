@@ -456,16 +456,27 @@ class AMGPreconditioner:
         # level + tentative-prolongator operators build concurrently:
         # the native PET builder releases the GIL for its C++ core, so a
         # thread pool overlaps the per-level builds (~2x on the 1M-row
-        # Poisson hierarchy)
+        # Poisson hierarchy).  Each worker also device_puts its operator
+        # as soon as it is packed, so host->device transfers overlap the
+        # remaining host work instead of serializing at the end — on the
+        # remote-TPU tunnel with a fragmented allocator (a long-running
+        # process) the end-of-setup bulk put alone measured ~4 s of a
+        # 9 s 1M-row setup; per-level overlapped puts hide most of it.
+        # The closing jax.device_put(self) is then a no-op for these
+        # leaves and still moves the small host remainder (dinvs,
+        # coarse inverse) in one batch.
         from concurrent.futures import ThreadPoolExecutor
+
+        def _build_and_put(m, **kw):
+            return jax.device_put(_device_sparse(m, **kw))
 
         with ThreadPoolExecutor(max_workers=4) as ex:
             build_levels = levels[:-1]
             if fine_operator is not None and build_levels:
                 build_levels = build_levels[1:]
-            ops_f = [ex.submit(_device_sparse, m) for m in build_levels]
+            ops_f = [ex.submit(_build_and_put, m) for m in build_levels]
             ph_f = [
-                ex.submit(_device_sparse, p, prefer_pet_rect=True)
+                ex.submit(_build_and_put, p, prefer_pet_rect=True)
                 for p in phat_sps
             ]
             ops = [f.result() for f in ops_f]

@@ -17,15 +17,18 @@ combination instead of k+1 dependent inner products.  Under
 allreduce count from O(k) to O(1); two passes (CGS2) keep MGS-level
 orthogonality (Giraud/Langou/Rozložník 2005).
 
-**TPU performance note — prefer ``ortho="cgs"`` on TPU.**  The default
-``ortho="mgs"`` matches the reference's knob semantics, but its k+1
-DEPENDENT inner products per iteration serialize on-device reductions;
-the batched-CGS sweep is one wide contraction the MXU loves.  Measured
-on the 1M-row nonsymmetric Poisson bench (TPU v5e, 26 iterations,
-identical convergence, BENCH_r04): mgs 257 ms, householder 176 ms,
-cgs 123 ms — the default costs 2.1x the CGS2 path.  Keep "mgs" for
-reference-trajectory parity; use "cgs" (or "householder" for maximum
-robustness with the Euclidean inner product) when wall-clock matters.
+**TPU performance note.**  Single-chip, the default ``ortho="mgs"`` is
+now also the fastest: on the 1M-row nonsymmetric Poisson bench (TPU
+v5e, 26 iterations, identical convergence, BENCH_r05) the ladder is
+mgs 80 ms, householder 82 ms, cgs 120 ms.  (Round 4 measured mgs at
+257 ms and steered users to CGS2; that cost was the compiled driver's
+per-iteration ``lax.cond`` copying the ``(maxiter+1, N)`` basis buffer
+every step, fixed in round 5 — ``_driver.py::_run_while``.  The CGS
+sweep's extra basis combination pass is why it now trails single-chip.)
+SHARDED solves are a different trade: there MGS still pays k+1
+DEPENDENT ``psum`` latencies per iteration while the batched-CGS sweep
+pays ONE — prefer ``ortho="cgs"`` under ``sharded_solve`` on real
+multi-chip meshes where allreduce latency dominates.
 
 Two drivers over the same mathematics:
 
