@@ -52,19 +52,27 @@ def cg(
     callback: Optional[Callable] = None,
     backend: str = EAGER,
 ):
+    x0_default = x0 is None
     A, b, x0, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)
     M = preconditioner(M)
     Ml = preconditioner(Ml)
     Ml_A = Product(Ml, A)
 
-    def residual_and_norm2(z):
-        r = b - A @ z
+    def residual_and_norm2(z, zero_z=False):
+        # zero_z: z is the default all-zero initial guess, so r = b
+        # BITWISE (A@0 sums c*0 = +0.0 exactly; b - 0.0 == b for every
+        # float).  Beyond saving a matvec, keeping the prologue free of
+        # an operator kernel whose output seeds the compiled loop carry
+        # preserves XLA's in-place buffer aliasing for the whole
+        # while_loop (measured ~300 us/iter on the 4096^2 stencil path,
+        # docs/design.md "measured truth" note).
+        r = b if zero_z else b - A @ z
         Ml_r = Ml @ r
         M_Ml_r = M @ Ml_r
         norm2 = ensure_real(inner(Ml_r, M_Ml_r), "<x, M x>")
         return M_Ml_r, Ml_r, norm2
 
-    M_Ml_r0, Ml_r0, norm2_0 = residual_and_norm2(x0)
+    M_Ml_r0, Ml_r0, norm2_0 = residual_and_norm2(x0, zero_z=x0_default)
     resnorm0 = jnp.sqrt(norm2_0)
 
     if callback is not None:

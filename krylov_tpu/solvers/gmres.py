@@ -108,6 +108,7 @@ def gmres(
                 "scale",
                 stacklevel=2,
             )
+    x0_default = x0 is None
     A, b, x0, N, inner, maxiter = setup(A, b, x0=x0, inner=inner, maxiter=maxiter)
     M = preconditioner(M)
     Ml = preconditioner(Ml)
@@ -118,7 +119,11 @@ def gmres(
         Ml_r = Ml @ (b - A @ z)
         return jnp.sqrt(ensure_real(inner(Ml_r, M @ Ml_r), "<x, M x>"))
 
-    r0 = b - A @ x0
+    # default x0 = 0: r0 == b bitwise; skipping the matvec also keeps
+    # the compiled prologue free of an operator kernel that would
+    # perturb XLA's while-loop buffer aliasing (docs/design.md
+    # "measured truth" note)
+    r0 = b if x0_default else b - A @ x0
     Ml_r0 = Ml @ r0
     M_Ml_r0 = M @ Ml_r0
     norm0 = jnp.sqrt(ensure_real(inner(Ml_r0, M_Ml_r0), "<x, M x>"))
