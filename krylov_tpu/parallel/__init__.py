@@ -22,7 +22,7 @@ from .csr import ShardedCSROperator, partition_csr
 from .grid import ShardedConstStencilOperator, ShardedGridStencilOperator
 from .mesh import RHS, ROWS, make_mesh, psum_inner
 from .schwarz import ILUSchwarzPartition, partition_ilu0
-from .solve import sharded_solve
+from .solve import make_sharded_solver, sharded_solve
 
 __all__ = [
     "AMGPartition",
@@ -44,6 +44,7 @@ __all__ = [
     "ShardedConstStencilOperator",
     "ShardedGridStencilOperator",
     "partition_csr",
+    "make_sharded_solver",
     "sharded_solve",
     "multihost",
 ]

@@ -230,20 +230,41 @@ def sharded_solve(
             callback=callback, **solver_kwargs,
         )
 
-    N = b.shape[0]
+    run = _make_general_run(
+        solver, A, mesh=mesh, n_rows=n_rows, shard_rhs=shard_rhs,
+        M_diag=M_diag, M_factory=M_factory, M_partition=M_partition,
+        tol=tol, atol=atol, maxiter=maxiter, callback=callback,
+        rhs_ndim=b.ndim, rhs_dtype=b.dtype, N=b.shape[0],
+        solver_kwargs=solver_kwargs,
+    )
+    return run(b, x0)
+
+
+def _make_general_run(
+    solver, A, *, mesh, n_rows, shard_rhs, M_diag, M_factory, M_partition,
+    tol, atol, maxiter, callback, rhs_ndim, rhs_dtype, N, solver_kwargs,
+):
+    """Build the reusable core of the general (flat-vector) sharded solve.
+
+    Everything independent of the RHS *values* happens here, once:
+    operator padding and partitioning, host->device transfer of the
+    operator/preconditioner arrays, and the ``shard_map`` + ``jax.jit``
+    program construction.  The returned ``run(b, x0=None)`` only
+    permutes/pads the vectors and invokes the cached compiled program —
+    repeated solves against the same operator (time stepping, RHS
+    sequences) stop re-paying the ~seconds of per-call partitioning,
+    transfer and retracing that a fresh ``sharded_solve`` call costs.
+    """
     if maxiter is None:
         maxiter = N
     # PET partitions built with reorder= hold B = A[perm][:, perm]: solve
-    # in the bandwidth-reduced order (permute the vectors ONCE here,
+    # in the bandwidth-reduced order (permute the vectors ONCE per call,
     # un-permute the iterate on return — inner products, residual norms
     # and trajectories are permutation-invariant, and no per-iteration
     # gather is needed, unlike the single-chip PETOperator route)
     perm = A.get("perm") if isinstance(A, PETPartition) else None
     if perm is not None:
         perm = np.asarray(perm)
-        b = jnp.asarray(b)[perm]
-        if x0 is not None:
-            x0 = jnp.asarray(x0)[perm]
         if M_diag is not None:
             M_diag = jnp.asarray(M_diag)[perm]
     # any-N sharding (the reference accepts any N, reference:
@@ -270,20 +291,14 @@ def sharded_solve(
         # includes grid stencils whose fast path above did not engage:
         # they fall back to the flat banded route, padded
         A = _pad_banded(A, pad_rows)
-    if pad_rows:
-        zpad = jnp.zeros((pad_rows,) + b.shape[1:], b.dtype)
-        b = jnp.concatenate([b, zpad], axis=0)
-        if x0 is not None:
-            x0 = jnp.concatenate([jnp.asarray(x0), zpad], axis=0)
-        if M_diag is not None:
-            M_diag = jnp.concatenate(
-                [jnp.asarray(M_diag), jnp.ones(pad_rows, b.dtype)], axis=0
-            )
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    if pad_rows and M_diag is not None:
+        M_diag = jnp.concatenate(
+            [jnp.asarray(M_diag), jnp.ones(pad_rows, rhs_dtype)], axis=0
+        )
 
-    rhs_axis = RHS if (shard_rhs and b.ndim > 1) else None
-    vec_spec = P(ROWS, *([rhs_axis] * (b.ndim - 1)))
-    buf_spec = P(None, *([rhs_axis] * (b.ndim - 1)))
+    rhs_axis = RHS if (shard_rhs and rhs_ndim > 1) else None
+    vec_spec = P(ROWS, *([rhs_axis] * (rhs_ndim - 1)))
+    buf_spec = P(None, *([rhs_axis] * (rhs_ndim - 1)))
 
     if isinstance(A, BandedOperator):
         A_arrays = (A.coeffs,)
@@ -351,10 +366,10 @@ def sharded_solve(
 
     M_arrays, M_specs = (), ()
     if M_partition is not None:
-        if M_partition.n_pad != b.shape[0]:
+        if M_partition.n_pad != N + pad_rows:
             raise ValueError(
                 f"M_partition built for padded size {M_partition.n_pad} "
-                f"but the solve's padded size is {b.shape[0]} — build "
+                f"but the solve's padded size is {N + pad_rows} — build "
                 "partition_amg on the same matrix"
             )
         M_arrays = M_partition.device_arrays()
@@ -407,7 +422,7 @@ def sharded_solve(
         )
 
     Md = (
-        jnp.zeros((1,), b.dtype)  # placeholder, unused
+        jnp.zeros((1,), rhs_dtype)  # placeholder, unused
         if M_diag is None
         else jnp.asarray(M_diag)
     )
@@ -421,22 +436,140 @@ def sharded_solve(
         out_specs=(vec_spec, one_spec, one_spec, buf_spec),
         check_vma=False,
     )
-    xk, success, numsteps, buf = jax.jit(fn)(b, x0, Md, *A_arrays, *M_arrays)
-    if callback is not None:
-        jax.effects_barrier()  # all monitor callbacks have landed
+    jfn = jax.jit(fn)
+    # realize the operator/preconditioner transfers now, not inside the
+    # first solve's wall time
+    jax.block_until_ready(
+        jax.tree_util.tree_leaves((A_arrays, M_arrays, Md))
+    )
 
-    if pad_rows:
-        xk = xk[:N]
-    if perm is not None:
-        from ..ops.pallas_spmv import invert_permutation
+    def run(b, x0=None):
+        b = jnp.asarray(b)
+        if b.ndim != rhs_ndim or b.shape[0] != N:
+            raise ValueError(
+                f"this sharded solver was built for RHS of ndim "
+                f"{rhs_ndim} with {N} rows; got shape {b.shape}"
+            )
+        if perm is not None:
+            pj = jnp.asarray(perm, jnp.int32)
+            b = jnp.take(b, pj, axis=0)
+            if x0 is not None:
+                x0 = jnp.take(jnp.asarray(x0), pj, axis=0)
+        if pad_rows:
+            zpad = jnp.zeros((pad_rows,) + b.shape[1:], b.dtype)
+            b = jnp.concatenate([b, zpad], axis=0)
+            if x0 is not None:
+                x0 = jnp.concatenate([jnp.asarray(x0), zpad], axis=0)
+        x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 
-        inv = invert_permutation(perm)
-        xk = jnp.take(xk, jnp.asarray(inv, jnp.int32), axis=0)
-    numsteps = int(np.max(np.asarray(numsteps)))
-    success = bool(np.all(np.asarray(success)))
-    resnorms = np.asarray(buf)[: numsteps + 1]
-    info = Info(success, xk, numsteps, resnorms, None, None)
-    return (xk if success else None), info
+        xk, success, numsteps, buf = jfn(b, x0, Md, *A_arrays, *M_arrays)
+        if callback is not None:
+            jax.effects_barrier()  # all monitor callbacks have landed
+
+        if pad_rows:
+            xk = xk[:N]
+        if perm is not None:
+            from ..ops.pallas_spmv import invert_permutation
+
+            inv = invert_permutation(perm)
+            xk = jnp.take(xk, jnp.asarray(inv, jnp.int32), axis=0)
+        numsteps = int(np.max(np.asarray(numsteps)))
+        success = bool(np.all(np.asarray(success)))
+        resnorms = np.asarray(buf)[: numsteps + 1]
+        info = Info(success, xk, numsteps, resnorms, None, None)
+        return (xk if success else None), info
+
+    return run
+
+
+def make_sharded_solver(
+    solver,
+    A,
+    *,
+    mesh=None,
+    shard_rhs=False,
+    M_diag=None,
+    M_factory=None,
+    M_partition=None,
+    tol=1e-5,
+    atol=1e-15,
+    maxiter=None,
+    callback=None,
+    n_rhs=None,
+    **solver_kwargs,
+):
+    """Build once, solve many: the reusable form of :func:`sharded_solve`.
+
+    Returns ``run(b, x0=None) -> (sol, Info)`` with identical semantics
+    and trajectories to ``sharded_solve`` called with the same
+    arguments.  The expensive per-call work — operator partitioning and
+    padding, host->device transfer of the operator/preconditioner
+    arrays, and the ``shard_map``/``jax.jit`` program construction —
+    happens HERE, once; each ``run`` call only pads/permutes the vectors
+    and invokes the cached compiled program.  Measured on the remote
+    v5e: a fresh ``sharded_solve`` call at 4.2M rows pays ~2 s of
+    host-side setup per call; ``run`` reduces that to the solve itself.
+    Use for time stepping, RHS sequences, and inner-outer methods.
+
+    * ``n_rhs`` — blocked-RHS column count the solver is built for
+      (``None``: single RHS).  Grid operators accept flat ``(N,)`` /
+      grid ``(M, ny)`` vectors when ``n_rhs is None``, flat ``(N, k)`` /
+      grid ``(M, ny, k)`` when ``n_rhs=k``; flat-vector operators take
+      ``(N,)`` or ``(N, k)`` accordingly.
+    * ``reorder=``/``restart=`` are not supported here — pre-permute the
+      matrix (or build :func:`partition_pet` with ``reorder=``) and use
+      :func:`sharded_solve` for restarted cycles.
+    """
+    if "reorder" in solver_kwargs or "restart" in solver_kwargs:
+        raise ValueError(
+            "make_sharded_solver does not take reorder=/restart= — "
+            "pre-permute the matrix (or partition_pet(reorder=...)) and "
+            "use sharded_solve for restarted cycles"
+        )
+    mesh = make_mesh() if mesh is None else mesh
+    n_rows = mesh.shape[ROWS]
+
+    if isinstance(A, (GridStencilOperator, ConstStencilOperator)) and not shard_rhs:
+        if M_partition is not None:
+            raise TypeError(
+                "grid operators precondition via "
+                "M_factory=multigrid_factory(...), not M_partition"
+            )
+        return _make_grid_run(
+            solver, A, mesh=mesh, tol=tol, atol=atol, maxiter=maxiter,
+            M_diag=M_diag, M_factory=M_factory, callback=callback,
+            n_rhs=n_rhs,
+            rhs_dtype=jnp.dtype(getattr(A, "dtype", jnp.float32)),
+            solver_kwargs=solver_kwargs,
+        )
+
+    if M_partition is not None and (M_diag is not None or M_factory is not None):
+        raise ValueError(
+            "M_partition is mutually exclusive with M_diag/M_factory"
+        )
+    if (
+        M_partition is not None
+        and isinstance(A, PETPartition)
+        and A.get("perm") is not None
+    ):
+        raise ValueError(
+            "M_partition needs the PET partition built without "
+            "reorder= (orderings must match)"
+        )
+    if M_partition is not None and M_partition.n_shards != n_rows:
+        raise ValueError(
+            f"M_partition built for {M_partition.n_shards} shards but "
+            f"the mesh rows axis has {n_rows} devices"
+        )
+    N = A["shape"][0] if isinstance(A, PETPartition) else A.shape[0]
+    rhs_dtype = jnp.dtype(getattr(A, "dtype", None) or jnp.float32)
+    return _make_general_run(
+        solver, A, mesh=mesh, n_rows=n_rows, shard_rhs=shard_rhs,
+        M_diag=M_diag, M_factory=M_factory, M_partition=M_partition,
+        tol=tol, atol=atol, maxiter=maxiter, callback=callback,
+        rhs_ndim=1 if n_rhs is None else 2, rhs_dtype=rhs_dtype,
+        N=N, solver_kwargs=solver_kwargs,
+    )
 
 
 def _sharded_solve_grid(
@@ -445,38 +578,43 @@ def _sharded_solve_grid(
 ):
     """Row-partitioned solve in the grid (M, ny[, k]) layout — see
     parallel/grid.py.  A trailing RHS-column axis rides along unsharded."""
+    n_rhs = (
+        b.shape[2] if b.ndim == 3
+        else (b.shape[1] if b.ndim == 2 and b.shape != A.grid else None)
+    )
+    run = _make_grid_run(
+        solver, A, mesh=mesh, tol=tol, atol=atol, maxiter=maxiter,
+        M_diag=M_diag, M_factory=M_factory, callback=callback,
+        n_rhs=n_rhs, rhs_dtype=jnp.asarray(b).dtype,
+        solver_kwargs=solver_kwargs,
+    )
+    return run(b, x0)
+
+
+def _make_grid_run(
+    solver, A, *, mesh, tol, atol, maxiter, M_diag, M_factory, callback,
+    n_rhs, rhs_dtype, solver_kwargs,
+):
+    """Build-once core of the grid-layout sharded solve (see
+    :func:`_make_general_run`): coefficient padding, device transfer and
+    the shard_map/jit program happen here; the returned ``run(b, x0)``
+    normalizes and pads the vectors and calls the cached program.
+    ``n_rhs`` fixes the blocked-RHS column count (None: single RHS)."""
     n_rows = mesh.shape[ROWS]
     Mg, ny = A.grid
-    # normalize b to the grid layout, remembering the caller's shape
-    flat_in = b.ndim != 3 and b.shape != A.grid
-    n_rhs = None
-    if b.ndim == 1:
-        b2 = b.reshape(Mg, ny)
-    elif b.ndim == 2 and b.shape == A.grid:
-        b2 = b
-    elif b.ndim == 2:  # flat multi-RHS (N, k)
-        n_rhs = b.shape[1]
-        b2 = b.reshape(Mg, ny, n_rhs)
-    else:  # grid multi-RHS (Mg, ny, k)
-        n_rhs = b.shape[2]
-        b2 = b
     N = Mg * ny
     if maxiter is None:
         maxiter = N
-    x02 = (
-        jnp.zeros_like(b2)
-        if x0 is None
-        else jnp.asarray(x0).reshape(b2.shape)
-    )
-    Md2 = (
-        jnp.zeros((1, 1), b2.dtype)  # placeholder, unused
-        if M_diag is None
-        else jnp.asarray(M_diag).reshape(Mg, ny)
-    )
+    grid_shape = (Mg, ny) if n_rhs is None else (Mg, ny, n_rhs)
 
     is_const = isinstance(A, ConstStencilOperator)
     pad_grid = (-Mg) % n_rows
     coeffs_global = None if is_const else A.coeffs2d
+    Md2 = (
+        jnp.zeros((1, 1), rhs_dtype)  # placeholder, unused
+        if M_diag is None
+        else jnp.asarray(M_diag).reshape(Mg, ny)
+    )
     if pad_grid:
         # pad GRID ROWS to the shard multiple.  Variable-coefficient
         # operators get unit-diagonal padded rows (identity maps the
@@ -487,12 +625,9 @@ def _sharded_solve_grid(
         # bottom edge read the padded x rows as zeros — identical to the
         # operators' zero Dirichlet boundary — so trajectories are
         # unchanged.
-        gpad = jnp.zeros((pad_grid,) + b2.shape[1:], b2.dtype)
-        b2 = jnp.concatenate([b2, gpad], axis=0)
-        x02 = jnp.concatenate([x02, gpad], axis=0)
         if M_diag is not None:
             Md2 = jnp.concatenate(
-                [Md2, jnp.ones((pad_grid, ny), b2.dtype)], axis=0
+                [Md2, jnp.ones((pad_grid, ny), rhs_dtype)], axis=0
             )
         if not is_const:
             cpad = jnp.zeros(
@@ -560,10 +695,11 @@ def _sharded_solve_grid(
         )
 
     coeff_arr = (
-        jnp.zeros((1, 1, 1), b2.dtype) if is_const else coeffs_global
+        jnp.zeros((1, 1, 1), rhs_dtype) if is_const else coeffs_global
     )
     coeff_spec = P() if is_const else P(None, ROWS, None)
-    vec_spec = P(ROWS, *([None] * (b2.ndim - 1)))
+    grid_ndim = 2 if n_rhs is None else 3
+    vec_spec = P(ROWS, *([None] * (grid_ndim - 1)))
     fn = shard_map(
         local_solve,
         mesh=mesh,
@@ -571,19 +707,48 @@ def _sharded_solve_grid(
         out_specs=(vec_spec, P(), P(), P()),
         check_vma=False,
     )
-    xk, success, numsteps, buf = jax.jit(fn)(b2, x02, Md2, coeff_arr)
-    if callback is not None:
-        jax.effects_barrier()  # all monitor callbacks have landed
+    jfn = jax.jit(fn)
+    # realize the coefficient transfer at build, not inside the first solve
+    jax.block_until_ready(jax.tree_util.tree_leaves((coeff_arr, Md2)))
 
-    if pad_grid:
-        xk = xk[:Mg]
-    numsteps = int(np.max(np.asarray(numsteps)))
-    success = bool(np.all(np.asarray(success)))
-    resnorms = np.asarray(buf)[: numsteps + 1]
-    if flat_in:
-        xk = xk.reshape(b.shape)
-    info = Info(success, xk, numsteps, resnorms, None, None)
-    return (xk if success else None), info
+    def run(b, x0=None):
+        b = jnp.asarray(b)
+        # normalize b to the grid layout, remembering the caller's shape
+        flat_shape = (
+            (Mg * ny,) if n_rhs is None else (Mg * ny, n_rhs)
+        )
+        if b.shape not in (flat_shape, grid_shape):
+            raise ValueError(
+                f"this sharded solver was built for RHS shape "
+                f"{flat_shape} or {grid_shape}; got {b.shape}"
+            )
+        flat_in = b.shape == flat_shape
+        b2 = b.reshape(grid_shape)
+        x02 = (
+            jnp.zeros_like(b2)
+            if x0 is None
+            else jnp.asarray(x0).reshape(b2.shape)
+        )
+        if pad_grid:
+            gpad = jnp.zeros((pad_grid,) + b2.shape[1:], b2.dtype)
+            b2 = jnp.concatenate([b2, gpad], axis=0)
+            x02 = jnp.concatenate([x02, gpad], axis=0)
+
+        xk, success, numsteps, buf = jfn(b2, x02, Md2, coeff_arr)
+        if callback is not None:
+            jax.effects_barrier()  # all monitor callbacks have landed
+
+        if pad_grid:
+            xk = xk[:Mg]
+        numsteps = int(np.max(np.asarray(numsteps)))
+        success = bool(np.all(np.asarray(success)))
+        resnorms = np.asarray(buf)[: numsteps + 1]
+        if flat_in:
+            xk = xk.reshape(b.shape)
+        info = Info(success, xk, numsteps, resnorms, None, None)
+        return (xk if success else None), info
+
+    return run
 
 
 def _pad_banded(A, pad):

@@ -1393,3 +1393,72 @@ def test_sharded_callback_monitor_csr_path():
     assert len(calls) == info.numsteps + 1
     calls.sort()
     assert [k for k, _ in calls] == list(range(info.numsteps + 1))
+
+
+def test_make_sharded_solver_matches_sharded_solve():
+    """Build-once/solve-many API: trajectories are bit-identical to a
+    fresh ``sharded_solve`` per call, across the grid, CSR (prime-N
+    padding + M_diag) and multi-RHS routes, and the returned ``run``
+    serves multiple right-hand sides."""
+    rng = np.random.default_rng(0)
+    mesh = _mesh()
+
+    # grid operator, two successive RHS through one built solver
+    A = stencil.poisson_2d(32, 32)
+    run = parallel.make_sharded_solver(
+        krylov_tpu.cg, A, mesh=mesh, tol=1e-10, maxiter=300
+    )
+    for seed in (1, 2):
+        b = jnp.asarray(np.random.default_rng(seed).standard_normal(1024))
+        sol, info = run(b)
+        sol_ref, info_ref = parallel.sharded_solve(
+            krylov_tpu.cg, A, b, mesh=mesh, tol=1e-10, maxiter=300
+        )
+        assert info.success and info.numsteps == info_ref.numsteps
+        np.testing.assert_array_equal(
+            np.asarray(info.resnorms), np.asarray(info_ref.resnorms)
+        )
+        np.testing.assert_array_equal(np.asarray(sol), np.asarray(sol_ref))
+
+    # CSR route: prime N (unit-diagonal padding) + Jacobi M_diag
+    N = 509
+    sp = scipy.sparse.diags(
+        [-1.0, 3.0, -1.0], [-1, 0, 1], shape=(N, N), format="csr"
+    )
+    dinv = 1.0 / np.asarray(sp.diagonal())
+    b = jnp.asarray(rng.standard_normal(N))
+    run2 = parallel.make_sharded_solver(
+        krylov_tpu.bicgstab, sp, mesh=mesh, M_diag=dinv,
+        tol=1e-9, maxiter=300,
+    )
+    sol2, info2 = run2(b)
+    sol2r, info2r = parallel.sharded_solve(
+        krylov_tpu.bicgstab, sp, b, mesh=mesh, M_diag=dinv,
+        tol=1e-9, maxiter=300,
+    )
+    assert info2.numsteps == info2r.numsteps
+    np.testing.assert_array_equal(
+        np.asarray(info2.resnorms), np.asarray(info2r.resnorms)
+    )
+
+    # blocked RHS on the grid route (n_rhs fixes the layout at build)
+    B = jnp.asarray(rng.standard_normal((1024, 2)))
+    run3 = parallel.make_sharded_solver(
+        krylov_tpu.cg, A, mesh=mesh, tol=1e-10, maxiter=300, n_rhs=2
+    )
+    sol3, info3 = run3(B)
+    sol3r, info3r = parallel.sharded_solve(
+        krylov_tpu.cg, A, B, mesh=mesh, tol=1e-10, maxiter=300
+    )
+    assert info3.numsteps == info3r.numsteps
+    np.testing.assert_array_equal(
+        np.asarray(info3.resnorms), np.asarray(info3r.resnorms)
+    )
+
+    # shape mismatch is rejected, restart= refused at build
+    with pytest.raises(ValueError):
+        run(jnp.zeros((1024, 2)))
+    with pytest.raises(ValueError):
+        parallel.make_sharded_solver(
+            krylov_tpu.gmres, A, mesh=mesh, restart=10
+        )
