@@ -36,7 +36,7 @@ with the single chip available here):
 
 Per iteration, standard CG needs 2 *dependent* scalar psums (pAp, then
 rho after the preconditioner apply); pipelined CG fuses all of an
-iteration's scalars into ONE psum at the cost of ~1.5x vector work; block
+iteration's scalars into ONE psum at the cost of ~2.15x vector work; block
 CG amortizes one (k, k)-Gram psum over k RHS columns.
 """
 
@@ -75,7 +75,7 @@ def tpu_model(
     psum_base_us=2.0,
     dcn_lat_us=25.0,
     ici_gbps=45.0,
-    pipelined_compute_overhead=1.333,
+    pipelined_compute_overhead=2.154,
 ):
     """Predict per-solver weak-scaling efficiency per chip count / hosts.
 
@@ -96,7 +96,8 @@ def tpu_model(
       full-overlap (the implementation emits the psum with no data
       dependence on the following matvec; XLA may schedule them
       concurrently).  Compute overhead vs CG is ``pipelined_compute_
-      overhead`` (measured 1.24x on the virtual curve's 1-device points);
+      overhead`` (measured 2.15x on the real v5e via make_sharded_solver
+      maxiter-slopes, round 5);
     * block CG, k RHS: one (k, k)-Gram psum amortized over k columns of
       work;
     * the halo exchange is overlapped with the zero-halo kernel
@@ -148,9 +149,13 @@ def tpu_model(
         return sc
 
     # two compute-time scenarios bracket reality:
-    # * "measured": full CG iteration measured on a real v5e at 4.2M
-    #   rows/chip (948 us/iter; pipelined 1264 us -> overhead 1.33x) —
-    #   what the shipped solver actually costs per iteration;
+    # * "measured": full sharded-CG iteration measured on a real v5e at
+    #   4.2M rows/chip via make_sharded_solver maxiter-slopes, round 5
+    #   (404.8 us/iter; pipelined 871.8 us -> overhead 2.15x — the
+    #   Ghysels-Vanroose recurrences stream ~2x the vectors; round 4's
+    #   948/1264 figures carried the compiled driver's since-fixed
+    #   per-iteration cond-copy overhead) — what the shipped solver
+    #   actually costs per iteration;
     # * "streaming_floor": the 7-word HBM streaming bound for the matvec
     #   alone — the best possible compute time, hence the WORST-case
     #   efficiency (sync cost can never be better hidden than this).
@@ -162,10 +167,10 @@ def tpu_model(
             "psum_base_us": psum_base_us,
             "dcn_lat_us": dcn_lat_us,
             "pipelined_compute_overhead": pipelined_compute_overhead,
-            "measured_cg_us_per_iter_v5e": 948.1,
-            "measured_pipelined_us_per_iter_v5e": 1264.1,
+            "measured_cg_us_per_iter_v5e": 404.8,
+            "measured_pipelined_us_per_iter_v5e": 871.8,
         },
-        "measured": scenario(948.1),
+        "measured": scenario(404.8),
         "streaming_floor": scenario(t_floor),
     }
 
@@ -213,12 +218,20 @@ def main():
     for scen in ("measured", "streaming_floor"):
         e2 = dict(model[scen]["two_hosts_16chips"])
         conclusion[scen + "_compute"] = e2
+    _m = conclusion["measured_compute"]
+    _f = conclusion["streaming_floor_compute"]
     conclusion["summary"] = (
-        "2 hosts x 8 chips: with measured v5e compute every variant "
-        "clears >=75%; at the adversarial streaming floor plain CG "
-        "fails (0.52) and the target is met via pipelined CG with "
-        "psum/matvec overlap (1.0), pipelined without overlap (0.74, "
-        "marginal), or block CG k=4 (0.90)."
+        f"2 hosts x 8 chips: with measured v5e compute plain CG sits at "
+        f"{_m['eff_cg']:.2f} ({'clears' if _m['eff_cg'] >= 0.75 else 'misses'} "
+        f"the 0.75 target; the round-5 driver speedup cut per-iteration "
+        f"compute ~2.3x, so the 2-psum latency now shows), pipelined CG "
+        f"reaches {_m['eff_cg_pipelined_no_overlap']:.2f} without overlap / "
+        f"{_m['eff_cg_pipelined_full_overlap']:.2f} with psum-matvec overlap "
+        f"and block CG k=4 {_m['eff_cg_block_k4']:.2f}; at the adversarial "
+        f"streaming floor plain CG fails ({_f['eff_cg']:.2f}) and the target "
+        f"is met via pipelined CG ({_f['eff_cg_pipelined_no_overlap']:.2f} "
+        f"no-overlap / {_f['eff_cg_pipelined_full_overlap']:.2f} overlapped) "
+        f"or block CG k=4 ({_f['eff_cg_block_k4']:.2f})."
     )
     result = {
         "metric": "weak_scaling_virtual_mesh",
