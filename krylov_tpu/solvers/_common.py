@@ -6,6 +6,7 @@ square-shape checks, operator normalization, default inner product, default
 zero initial guess, ``maxiter=None -> N``.
 """
 
+import jax
 import jax.numpy as jnp
 
 from .._inner import get_default_inner
@@ -40,6 +41,34 @@ def setup(A, b, x0=None, inner=None, maxiter=None, needs_rmatvec=False):
     maxiter = N if maxiter is None else maxiter
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     return A, b, x0, N, inner, maxiter
+
+
+def initial_residual(A, b, x0, x0_is_default):
+    """``r0 = b - A @ x0``, short-circuited for the default zero guess.
+
+    With ``x0_is_default`` the matvec is skipped: ``A @ 0`` sums
+    ``c * 0 = +0.0`` exactly and ``b - 0.0 == b`` for every float, so
+    the VALUES are bitwise identical.  The DTYPE is made faithful too:
+    mixed-precision operators (e.g. the bf16 PET kernel accumulating in
+    f32) promote the residual, so ``b`` is cast to the dtype the real
+    computation would produce — resolved by an abstract ``eval_shape``
+    trace, zero FLOPs.  Beyond saving a matvec, keeping the compiled
+    prologue free of an operator kernel whose output seeds the loop
+    carry preserves XLA's in-place buffer aliasing for the whole
+    while_loop (measured ~300 us/iter at 4096^2, docs/design.md
+    "measured truth" note).
+    """
+    if not x0_is_default:
+        return b - A @ x0
+    try:
+        dt = jax.eval_shape(lambda v: b - A @ v, x0).dtype
+    except Exception:
+        # user-supplied operators may be numpy-only (reference parity:
+        # any object with __matmul__, reference: src/krylov/cg.py:33) —
+        # not abstractly traceable, so pay the real matvec; these run on
+        # the eager path where the aliasing concern does not apply
+        return b - A @ x0
+    return b.astype(dt)
 
 
 def preconditioner(M):

@@ -13,7 +13,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import preconditioner, setup
+from ._common import initial_residual, preconditioner, setup
 
 
 class BicgState(NamedTuple):
@@ -45,7 +45,7 @@ def bicg(
         return jnp.sqrt(ensure_real(inner(x, M @ x), "<x, M x>"))
 
     x_init = x0_arr
-    r_init = jnp.asarray(b) if x0 is None else b - A @ x_init
+    r_init = initial_residual(A, jnp.asarray(b), x_init, x0 is None)
     r0 = r_init
     r1 = jnp.conj(r_init)
 

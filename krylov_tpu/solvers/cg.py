@@ -23,7 +23,7 @@ from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
 from .._operators import Product
-from ._common import preconditioner, setup
+from ._common import initial_residual, preconditioner, setup
 
 
 class CGState(NamedTuple):
@@ -66,7 +66,7 @@ def cg(
         # preserves XLA's in-place buffer aliasing for the whole
         # while_loop (measured ~300 us/iter on the 4096^2 stencil path,
         # docs/design.md "measured truth" note).
-        r = b if zero_z else b - A @ z
+        r = initial_residual(A, b, z, zero_z)
         Ml_r = Ml @ r
         M_Ml_r = M @ Ml_r
         norm2 = ensure_real(inner(Ml_r, M_Ml_r), "<x, M x>")

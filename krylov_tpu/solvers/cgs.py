@@ -12,7 +12,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import inner_tail, preconditioner, setup
+from ._common import initial_residual, inner_tail, preconditioner, setup
 
 
 class CgsState(NamedTuple):
@@ -43,7 +43,7 @@ def cgs(
         return jnp.sqrt(ensure_real(inner(x, M @ x), "<x, M x>"))
 
     x_init = x0_arr
-    r0 = jnp.asarray(b) if x0 is None else b - A @ x_init
+    r0 = initial_residual(A, jnp.asarray(b), x_init, x0 is None)
     rp = r0  # common but arbitrary choice of the shadow vector
 
     if callback is not None:

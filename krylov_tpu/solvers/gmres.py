@@ -54,7 +54,7 @@ from .._operators import Identity, Product
 from ..arnoldi import ArnoldiCGS, ArnoldiHouseholder, ArnoldiMGS, padded_reflector_at
 from ..givens import apply_givens, givens
 from ..ops.triangular import multi_solve_triangular
-from ._common import preconditioner, setup
+from ._common import initial_residual, preconditioner, setup
 
 
 def _num_operations(k):
@@ -123,7 +123,7 @@ def gmres(
     # the compiled prologue free of an operator kernel that would
     # perturb XLA's while-loop buffer aliasing (docs/design.md
     # "measured truth" note)
-    r0 = b if x0_default else b - A @ x0
+    r0 = initial_residual(A, b, x0, x0_default)
     Ml_r0 = Ml @ r0
     M_Ml_r0 = M @ Ml_r0
     norm0 = jnp.sqrt(ensure_real(inner(Ml_r0, M_Ml_r0), "<x, M x>"))

@@ -22,7 +22,7 @@ from .._info import Info
 from .._inner import ensure_real
 from .._operators import Product
 from ..givens import apply_givens, givens
-from ._common import inner_tail, preconditioner, setup
+from ._common import initial_residual, inner_tail, preconditioner, setup
 
 
 class MinresState(NamedTuple):
@@ -75,7 +75,7 @@ def minres(
     # the compiled prologue free of an operator kernel that would
     # perturb XLA's while-loop buffer aliasing (docs/design.md
     # "measured truth" note)
-    r0 = b if x0_default else b - A @ x0
+    r0 = initial_residual(A, b, x0, x0_default)
     Ml_r0 = Ml @ r0
     M_Ml_r0 = M @ Ml_r0
     norm0 = jnp.sqrt(ensure_real(inner(Ml_r0, M_Ml_r0), "<x, M x>"))

@@ -16,7 +16,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import inner_tail, preconditioner, setup
+from ._common import initial_residual, inner_tail, preconditioner, setup
 
 
 class QmrState(NamedTuple):
@@ -60,7 +60,7 @@ def qmr(
         return jnp.sqrt(ensure_real(inner(x, Ml @ x), "<x, Ml x>"))
 
     x_init = x0_arr
-    r0 = jnp.asarray(b) if x0 is None else b - A @ x_init
+    r0 = initial_residual(A, jnp.asarray(b), x_init, x0 is None)
 
     if callback is not None:
         callback(x_init, r0)

@@ -35,7 +35,7 @@ import numpy as np
 from .._driver import EAGER, Method, run
 from .._info import Info
 from .._inner import ensure_real
-from ._common import inner_tail, preconditioner, setup
+from ._common import initial_residual, inner_tail, preconditioner, setup
 
 
 class TfqmrState(NamedTuple):
@@ -99,7 +99,7 @@ def tfqmr(
         return jnp.sqrt(ensure_real(inner(z, z), "<w, w>"))
 
     x_init = x0_arr
-    r0 = jnp.asarray(b) if x0 is None else b - A @ x_init
+    r0 = initial_residual(A, jnp.asarray(b), x_init, x0 is None)
     rstar = r0  # shadow vector: the customary r*_0 = r_0
 
     if callback is not None:
