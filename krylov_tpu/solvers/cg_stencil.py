@@ -128,8 +128,11 @@ def cg_stencil(
     # matvec in the prologue whose output seeds the loop carry shifts
     # XLA's buffer assignment for the whole while loop and cost ~300
     # us/iter at 4096^2 (isolated A/B: identical loop bodies, prologue
-    # matvec present 1492 us/iter vs absent 1189).
-    r0 = b2 if x0 is None else b2 - (A @ x02)
+    # matvec present 1492 us/iter vs absent 1189).  initial_residual
+    # also keeps the dtype faithful for mixed-precision coefficients.
+    from ._common import initial_residual
+
+    r0 = initial_residual(A, b2, x02, x0 is None)
     rho0 = mnorm2(r0)
     resnorm0 = jnp.sqrt(rho0)
 
