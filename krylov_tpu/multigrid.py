@@ -428,10 +428,56 @@ class MultigridPreconditioner:
         w = self._winv[level]
         return w.reshape(w.shape + (1,) * (r.ndim - w.ndim)) * r
 
+    def _fused_sweep_ok(self, level, x_nd):
+        """Route this level's smoothing/residual through the fused
+        pallas sweep kernel (one 3N-word pass instead of matvec + XLA
+        elementwise at ~6N — measured ~25% off the whole 4096^2 V(2,2)
+        cycle).  Needs: const-coefficient level (scalar Jacobi weight),
+        no trailing RHS axes, and a kernel-supported collapsed grid."""
+        from .ops import pallas_stencil
+
+        op = self._ops[level]
+        if not isinstance(op, ConstStencilOperator):
+            return False
+        if jnp.ndim(self._winv[level]) != 0:
+            return False
+        nd = len(self._nd_shapes[level])
+        if x_nd.ndim != nd:
+            return False  # blocked RHS tail: generic path
+        M, ny = op.vector_shape
+        return pallas_stencil.supports(
+            x_nd.dtype, M, ny, tuple(b[0] for b in op.kernel_bands)
+        )
+
     def _smooth(self, level, z, r, iters):
+        if iters > 0 and self._fused_sweep_ok(level, z):
+            from .ops import pallas_stencil
+
+            op = self._ops[level]
+            g = op.vector_shape
+            z2, r2 = z.reshape(g), r.reshape(g)
+            for _ in range(iters):
+                z2 = pallas_stencil.jacobi_sweep_const(
+                    self._winv[level], z2, r2, op.kernel_bands
+                )
+            return z2.reshape(z.shape)
         for _ in range(iters):
             z = z + self._wmul(level, r - self._apply(level, z))
         return z
+
+    def _residual(self, level, z, r):
+        """``r - A z`` — fused single pass where the sweep kernel applies."""
+        if self._fused_sweep_ok(level, z):
+            from .ops import pallas_stencil
+
+            op = self._ops[level]
+            g = op.vector_shape
+            d2 = pallas_stencil.jacobi_sweep_const(
+                0.0, z.reshape(g), r.reshape(g), op.kernel_bands,
+                update=False,
+            )
+            return d2.reshape(z.shape)
+        return r - self._apply(level, z)
 
     def _apply(self, level, x_nd):
         # op works on collapsed (M, ny)(+tail); x_nd is shape_nd(+tail)
@@ -458,7 +504,7 @@ class MultigridPreconditioner:
         nd = len(self._nd_shapes[level])
         z = self._wmul(level, r)  # first sweep from zero, no matvec
         z = self._smooth(level, z, r, self.smooth - 1)
-        d = r - self._apply(level, z)
+        d = self._residual(level, z, r)
         e = self._vcycle(level + 1, self._restrict(d, nd))
         z = z + self._prolong(e, nd)
         return self._smooth(level, z, r, self.smooth)

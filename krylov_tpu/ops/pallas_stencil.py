@@ -395,6 +395,99 @@ def const_stencil2d_matvec(x, bands, block_rows=None, masked=True,
 # self-contained.
 
 
+def _jacobi_sweep_kernel(w_ref, z_ref, r_ref, zt_ref, zb_ref, zn_ref, *,
+                         bands, h, tm, ny, update):
+    """One fused damped-Jacobi sweep on a const stencil:
+    ``z' = z + w * (r - A z)`` (``update=True``) or the plain residual
+    ``d = r - A z`` (``update=False``) in a single pass — 3N words vs the
+    6N (5N) of a separate matvec + elementwise composition."""
+    w = w_ref[0, 0]
+    if h > 0:
+        z_ext = jnp.concatenate([zt_ref[0], z_ref[...], zb_ref[0]], axis=0)
+    else:
+        z_ext = z_ref[...]
+    gi0 = pl.program_id(0) * tm
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + gi0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, ny), 1)
+    acc = None
+    for dr, dc, wt, row_constraints in bands:
+        seg = z_ext[h + dr : h + dr + tm]
+        if dc:
+            seg = pltpu.roll(seg, (-dc) % ny, axis=1)
+        mask = None
+        for stride, size, step in row_constraints:
+            c = jax.lax.rem(
+                jax.lax.div(rows, jnp.int32(stride)), jnp.int32(size)
+            )
+            m = (c + step >= 0) & (c + step < size)
+            mask = m if mask is None else mask & m
+        if dc:
+            mc = (cols + dc >= 0) & (cols + dc < ny)
+            mask = mc if mask is None else mask & mc
+        term = wt * seg if mask is None else jnp.where(mask, wt * seg, 0)
+        acc = term if acc is None else acc + term
+    if update:
+        zn_ref[...] = z_ref[...] + w * (r_ref[...] - acc)
+    else:
+        zn_ref[...] = r_ref[...] - acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bands", "block_rows", "update")
+)
+def jacobi_sweep_const(w, z, r, bands, block_rows=None, update=True):
+    """Fused damped-Jacobi smoothing sweep for const-coefficient stencils.
+
+    ``update=True``: returns ``z + w * (r - A z)`` in ONE pallas pass
+    (z/r read + z' write = 3N words; the separate matvec + XLA
+    elementwise composition streams ~6N), writing in place into ``z``'s
+    buffer.  ``update=False``: returns the residual ``r - A z`` (3N vs
+    5N), fresh output (both operands stay live in the V-cycle).  The
+    multigrid V-cycle's smoothing and residual steps are made of exactly
+    these two shapes (multigrid.py::MultigridPreconditioner._smooth /
+    _vcycle) — fusing them cut the measured 4096^2 V(2,2) cycle by ~25%.
+    ``w`` is the scalar damped-Jacobi weight ``omega / center``.
+    """
+    M, ny = z.shape
+    row_offsets = tuple(b[0] for b in bands)
+    h = max((max(0, -min(row_offsets)), max(0, max(row_offsets))))
+
+    bpr = ny * z.dtype.itemsize
+    tm = _pick_tm(M, 4, 4 * h, bpr, min_tm=h)
+    if block_rows is not None:
+        tm = _pick_tm(M, 4, 4 * h, bpr, min_tm=h,
+                      budget=2 * block_rows * 4 * bpr)
+    nb = M // tm
+
+    if h > 0:
+        zt, zb = _halo_planes(z, nb, tm, h)
+    else:
+        zt = jnp.zeros((nb, 1, ny), z.dtype)
+        zb = jnp.zeros((nb, 1, ny), z.dtype)
+    ws = jnp.asarray(w, z.dtype).reshape(1, 1)
+    kern = functools.partial(
+        _jacobi_sweep_kernel, bands=bands, h=h, tm=tm, ny=ny, update=update
+    )
+    blk = pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec(
+        (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            blk, blk, halo, halo,
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((M, ny), z.dtype),
+        # update sweeps consume z (halo reads come from the pre-gathered
+        # planes, so in-place is safe — same argument as alias_x above);
+        # the residual keeps both operands live and writes fresh
+        input_output_aliases={1: 0} if update else {},
+    )(ws, z, r, zt, zb)
+
+
 def _cg_a_kernel(om_ref, r_ref, p_ref, rt_ref, rb_ref, pt_ref, pb_ref,
                  pn_ref, ap_ref, pap_ref, *, bands, h, tm, ny):
     om = om_ref[0, 0]

@@ -236,3 +236,50 @@ def test_mg_odd_dims_stop_coarsening():
     b = jnp.asarray(RNG.standard_normal((24, 18)))
     sol, info = krylov.cg(A, b, M=M, inner=INNER, tol=1e-9, maxiter=300)
     assert info.success
+
+
+def test_jacobi_sweep_kernel_interpret_mode():
+    """The fused damped-Jacobi sweep kernel (multigrid smoothing hot op)
+    in Pallas interpreter mode vs the plain composition, both modes:
+    update (z + w*(r - A z)) and residual (r - A z)."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    from krylov_tpu.ops import pallas_stencil as ps
+    from krylov_tpu.ops import stencil
+
+    A = stencil.poisson_2d_const(16, 8, dtype=np.float32)
+    M, ny = A.grid
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    w = jnp.float32(0.2)
+
+    h, tm, nb = 1, 8, 2
+    zt, zb = ps._halo_planes(z, nb, tm, h)
+    ws = jnp.asarray(w).reshape(1, 1)
+    for update in (True, False):
+        kern = functools.partial(
+            ps._jacobi_sweep_kernel, bands=A.kernel_bands, h=h, tm=tm,
+            ny=ny, update=update,
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0)),
+                pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+                pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+                pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tm, ny), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            interpret=True,
+        )(ws, z, r, zt, zb)
+        ref = (z + w * (r - (A @ z))) if update else (r - (A @ z))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
