@@ -428,53 +428,71 @@ class MultigridPreconditioner:
         w = self._winv[level]
         return w.reshape(w.shape + (1,) * (r.ndim - w.ndim)) * r
 
-    def _fused_sweep_ok(self, level, x_nd):
-        """Route this level's smoothing/residual through the fused
-        pallas sweep kernel (one 3N-word pass instead of matvec + XLA
-        elementwise at ~6N — measured ~25% off the whole 4096^2 V(2,2)
-        cycle).  Needs: const-coefficient level (scalar Jacobi weight),
-        no trailing RHS axes, and a kernel-supported collapsed grid."""
+    def _fused_sweep_kind(self, level, x_nd):
+        """Route this level's smoothing/residual through a fused pallas
+        sweep kernel (one pass instead of matvec + XLA elementwise —
+        measured ~31% off the whole 4096^2 const V(2,2) cycle):
+        ``"const"`` for const-coefficient levels (scalar Jacobi weight),
+        ``"var"`` for Galerkin (GridStencilOperator) levels streaming
+        the coefficient planes and a per-point weight, ``None`` for the
+        generic composition (CPU/f64 parity mode, blocked-RHS tails)."""
+        from .ops import pallas_stencil
+        from .ops.stencil import GridStencilOperator
+
+        op = self._ops[level]
+        nd = len(self._nd_shapes[level])
+        if x_nd.ndim != nd:
+            return None  # blocked RHS tail: generic path
+        if isinstance(op, ConstStencilOperator):
+            if jnp.ndim(self._winv[level]) != 0:
+                return None
+            M, ny = op.vector_shape
+            if pallas_stencil.supports(
+                x_nd.dtype, M, ny, tuple(b[0] for b in op.kernel_bands)
+            ):
+                return "const"
+            return None
+        if isinstance(op, GridStencilOperator):
+            M, ny = op.vector_shape
+            if jnp.shape(self._winv[level]) == (M, ny) and (
+                pallas_stencil.supports(x_nd.dtype, M, ny, op.row_offsets)
+            ):
+                return "var"
+        return None
+
+    def _fused_sweep(self, level, z2, r2, kind, update=True):
         from .ops import pallas_stencil
 
         op = self._ops[level]
-        if not isinstance(op, ConstStencilOperator):
-            return False
-        if jnp.ndim(self._winv[level]) != 0:
-            return False
-        nd = len(self._nd_shapes[level])
-        if x_nd.ndim != nd:
-            return False  # blocked RHS tail: generic path
-        M, ny = op.vector_shape
-        return pallas_stencil.supports(
-            x_nd.dtype, M, ny, tuple(b[0] for b in op.kernel_bands)
+        if kind == "const":
+            return pallas_stencil.jacobi_sweep_const(
+                self._winv[level] if update else 0.0, z2, r2,
+                op.kernel_bands, update=update,
+            )
+        return pallas_stencil.jacobi_sweep_var(
+            self._winv[level] if update else 0.0, z2, r2, op.coeffs2d,
+            op.row_offsets, op.col_offsets, update=update,
         )
 
     def _smooth(self, level, z, r, iters):
-        if iters > 0 and self._fused_sweep_ok(level, z):
-            from .ops import pallas_stencil
-
-            op = self._ops[level]
-            g = op.vector_shape
+        kind = self._fused_sweep_kind(level, z) if iters > 0 else None
+        if kind is not None:
+            g = self._ops[level].vector_shape
             z2, r2 = z.reshape(g), r.reshape(g)
             for _ in range(iters):
-                z2 = pallas_stencil.jacobi_sweep_const(
-                    self._winv[level], z2, r2, op.kernel_bands
-                )
+                z2 = self._fused_sweep(level, z2, r2, kind)
             return z2.reshape(z.shape)
         for _ in range(iters):
             z = z + self._wmul(level, r - self._apply(level, z))
         return z
 
     def _residual(self, level, z, r):
-        """``r - A z`` — fused single pass where the sweep kernel applies."""
-        if self._fused_sweep_ok(level, z):
-            from .ops import pallas_stencil
-
-            op = self._ops[level]
-            g = op.vector_shape
-            d2 = pallas_stencil.jacobi_sweep_const(
-                0.0, z.reshape(g), r.reshape(g), op.kernel_bands,
-                update=False,
+        """``r - A z`` — fused single pass where a sweep kernel applies."""
+        kind = self._fused_sweep_kind(level, z)
+        if kind is not None:
+            g = self._ops[level].vector_shape
+            d2 = self._fused_sweep(
+                level, z.reshape(g), r.reshape(g), kind, update=False
             )
             return d2.reshape(z.shape)
         return r - self._apply(level, z)

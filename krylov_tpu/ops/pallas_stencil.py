@@ -488,6 +488,95 @@ def jacobi_sweep_const(w, z, r, bands, block_rows=None, update=True):
     )(ws, z, r, zt, zb)
 
 
+def _jacobi_sweep_var_kernel(c_ref, *refs, row_offsets, col_offsets, h,
+                             tm, ny, update):
+    """Variable-coefficient twin of :func:`_jacobi_sweep_kernel`: the
+    damped-Jacobi weight is a per-point plane (``omega / diag``) and the
+    stencil streams the coefficient stack; Dirichlet masking lives in
+    the coefficient data (see :func:`_cg_a_var_kernel`).  The weight
+    block is only an input in update mode (the residual mode would
+    stream an N-word plane it never reads)."""
+    if update:
+        w_ref, z_ref, r_ref, zt_ref, zb_ref, zn_ref = refs
+    else:
+        z_ref, r_ref, zt_ref, zb_ref, zn_ref = refs
+    if h > 0:
+        z_ext = jnp.concatenate([zt_ref[0], z_ref[...], zb_ref[0]], axis=0)
+    else:
+        z_ext = z_ref[...]
+    acc = None
+    for d, (dr, dc) in enumerate(zip(row_offsets, col_offsets)):
+        seg = z_ext[h + dr : h + dr + tm]
+        if dc:
+            seg = pltpu.roll(seg, (-dc) % ny, axis=1)
+        term = c_ref[d] * seg
+        acc = term if acc is None else acc + term
+    if update:
+        zn_ref[...] = z_ref[...] + w_ref[...] * (r_ref[...] - acc)
+    else:
+        zn_ref[...] = r_ref[...] - acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("row_offsets", "col_offsets", "block_rows", "update"),
+)
+def jacobi_sweep_var(w, z, r, coeffs, row_offsets, col_offsets,
+                     block_rows=None, update=True):
+    """Fused damped-Jacobi sweep for variable-coefficient grid stencils:
+    ``z + w ⊙ (r - A z)`` (``update=True``, in place into ``z``) or the
+    residual ``r - A z`` (``update=False``) in one pallas pass.  ``w``
+    is the per-point weight plane (``omega / diag``); traffic is
+    ``(ndiag + 4)N`` words vs ``(ndiag + 7)N`` for the matvec + XLA
+    elementwise composition.  Serves the Galerkin multigrid cycle's
+    smoothing/residual steps (multigrid.py)."""
+    M, ny = z.shape
+    ndiag = coeffs.shape[0]
+    h = max((max(0, -min(row_offsets)), max(0, max(row_offsets)), 1))
+
+    budget = _fused_vmem_budget()
+    bpr = ny * z.dtype.itemsize
+    # c planes + w, z, r, zn blocks + 2 halo planes + z_ext intermediate
+    tm = _pick_tm(M, ndiag + 5, 3 * h, bpr, min_tm=h, budget=budget)
+    nb = M // tm
+
+    if h > 0:
+        zt, zb = _halo_planes(z, nb, tm, h)
+    else:
+        zt = jnp.zeros((nb, 1, ny), z.dtype)
+        zb = jnp.zeros((nb, 1, ny), z.dtype)
+
+    kern = functools.partial(
+        _jacobi_sweep_var_kernel, row_offsets=row_offsets,
+        col_offsets=col_offsets, h=h, tm=tm, ny=ny, update=update,
+    )
+    blk = pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec(
+        (1, max(h, 1), ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    c_spec = pl.BlockSpec(
+        (ndiag, tm, ny), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    if update:
+        w2 = jnp.broadcast_to(jnp.asarray(w, z.dtype), (M, ny))
+        operands = (coeffs, w2, z, r, zt, zb)
+        in_specs = [c_spec, blk, blk, blk, halo, halo]
+        aliases = {2: 0}  # zn reuses z's buffer
+    else:
+        operands = (coeffs, z, r, zt, zb)
+        in_specs = [c_spec, blk, blk, halo, halo]
+        aliases = {}
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((M, ny), z.dtype),
+        input_output_aliases=aliases,
+        compiler_params=_fused_compiler_params(budget),
+    )(*operands)
+
+
 def _cg_a_kernel(om_ref, r_ref, p_ref, rt_ref, rb_ref, pt_ref, pb_ref,
                  pn_ref, ap_ref, pap_ref, *, bands, h, tm, ny):
     om = om_ref[0, 0]

@@ -283,3 +283,59 @@ def test_jacobi_sweep_kernel_interpret_mode():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+def test_jacobi_sweep_var_kernel_interpret_mode():
+    """Variable-coefficient fused sweep kernel (Galerkin smoothing) in
+    interpreter mode vs the operator composition, both modes."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    from krylov_tpu.ops import pallas_stencil as ps
+    from krylov_tpu.ops import stencil
+
+    A = stencil.poisson_2d(16, 8, dtype=np.float32)
+    M, ny = A.grid
+    rng = np.random.default_rng(9)
+    z = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((M, ny)), jnp.float32)
+    d = np.asarray(A.diagonal()).reshape(M, ny)
+    w = jnp.asarray(0.8 / d, jnp.float32)
+
+    h, tm, nb = 1, 8, 2
+    zt, zb = ps._halo_planes(z, nb, tm, h)
+    blk = pl.BlockSpec((tm, ny), lambda i: (i, 0))
+    halo = pl.BlockSpec((1, h, ny), lambda i: (i, 0, 0))
+    c_spec = pl.BlockSpec((5, tm, ny), lambda i: (0, i, 0))
+    for update in (True, False):
+        kern = functools.partial(
+            ps._jacobi_sweep_var_kernel, row_offsets=A.row_offsets,
+            col_offsets=A.col_offsets, h=h, tm=tm, ny=ny, update=update,
+        )
+        operands = (
+            (jnp.asarray(A.coeffs2d), w, z, r, zt, zb)
+            if update
+            else (jnp.asarray(A.coeffs2d), z, r, zt, zb)
+        )
+        in_specs = (
+            [c_spec, blk, blk, blk, halo, halo]
+            if update
+            else [c_spec, blk, blk, halo, halo]
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((M, ny), jnp.float32),
+            interpret=True,
+        )(*operands)
+        Az = np.asarray(A @ z)
+        ref = (
+            np.asarray(z) + np.asarray(w) * (np.asarray(r) - Az)
+            if update
+            else np.asarray(r) - Az
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
